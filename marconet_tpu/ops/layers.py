@@ -1,0 +1,346 @@
+"""Core numerical layers (flax.linen, NHWC, channels-last).
+
+TPU-first re-designs of the reference building blocks:
+
+- ``EqualLinear``  — StyleGAN equalized linear (reference
+  ``models/networks.py:173-198``): runtime weight gain ``lr_mul/sqrt(fan_in)``
+  and bias gain ``lr_mul``, optional fused-LeakyReLU epilogue.
+- ``PixelNorm``    — reference ``models/networks.py:166-171``.
+- ``group_norm`` / ``GroupNorm`` — torch ``nn.GroupNorm`` semantics
+  (32 channels/group, eps=1e-6; reference ``models/networks.py:487-490``),
+  extended with an optional validity mask so the per-character SFT windows
+  can be normalized over their valid columns only (the reference gets this
+  implicitly by slicing dynamic-width windows; we keep static shapes and
+  mask instead).
+- ``SNConv``       — spectrally-normalized conv with torch
+  ``nn.utils.spectral_norm`` semantics (power-iteration state ``u``/``v``;
+  used throughout the SR net, reference ``models/networks.py:335-409``).
+- ``ResTextBlockV2`` — GN/swish residual block (reference
+  ``models/networks.py:495-516``).
+- ``adaptive_instance_norm`` — AdaIN with *unbiased* variance + eps=1e-5,
+  matching ``calc_mean_std_4D`` (reference ``models/networks.py:518-533``),
+  with optional column-validity mask.
+
+All modules take ``dtype`` for the compute precision (params stay float32).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from marconet_tpu.ops.fused_act import fused_leaky_relu
+
+Dtype = Any
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN-style equalized linear
+# ---------------------------------------------------------------------------
+
+
+class EqualLinear(nn.Module):
+    """Equalized linear layer.
+
+    ``y = x @ (kernel * lr_mul / sqrt(fan_in)) + bias * lr_mul``; with
+    ``activation='fused_lrelu'`` the bias is applied inside the fused
+    LeakyReLU epilogue instead.
+    """
+
+    features: int
+    use_bias: bool = True
+    bias_init_val: float = 0.0
+    lr_mul: float = 1.0
+    activation: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        # Stored kernel matches torch's randn()/lr_mul initialization.
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.normal(key, shape) / self.lr_mul,
+            (in_features, self.features),
+        )
+        scale = (1.0 / jnp.sqrt(in_features)) * self.lr_mul
+        w = (kernel * scale).astype(self.dtype)
+        y = jnp.dot(x.astype(self.dtype), w)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape: jnp.full(shape, self.bias_init_val,
+                                            jnp.float32),
+                (self.features,),
+            ) * self.lr_mul
+        if self.activation == "fused_lrelu":
+            y = fused_leaky_relu(y, bias.astype(self.dtype))
+        elif bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class PixelNorm(nn.Module):
+    """x * rsqrt(mean(x^2, channel) + 1e-8), channels-last."""
+
+    @nn.compact
+    def __call__(self, x):
+        return x * jax.lax.rsqrt(
+            jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Group normalization with optional validity mask
+# ---------------------------------------------------------------------------
+
+
+def group_norm(x, gamma, beta, num_groups: int, eps: float = 1e-6,
+               mask=None):
+    """GroupNorm over an NHWC tensor (torch semantics, biased variance).
+
+    Args:
+      x: (B, H, W, C).
+      gamma, beta: (C,) affine parameters.
+      num_groups: number of channel groups.
+      mask: optional broadcastable validity mask (e.g. (B, 1, W, 1)); when
+        given, statistics are computed over valid positions only and the
+        output is zeroed at invalid positions.
+    """
+    b, h, w, c = x.shape
+    g = num_groups
+    xg = x.reshape(b, h, w, g, c // g)
+    f32 = xg.astype(jnp.float32)
+    if mask is None:
+        mean = f32.mean(axis=(1, 2, 4), keepdims=True)
+        var = jnp.square(f32 - mean).mean(axis=(1, 2, 4), keepdims=True)
+    else:
+        # mask is broadcastable to (B, H, W, 1); add a group-channel axis
+        mb = jnp.broadcast_to(mask.astype(jnp.float32)[..., None], xg.shape)
+        cnt = mb.sum(axis=(1, 2, 4), keepdims=True)
+        cnt = jnp.maximum(cnt, 1.0)
+        mean = (f32 * mb).sum(axis=(1, 2, 4), keepdims=True) / cnt
+        var = (jnp.square(f32 - mean) * mb).sum(axis=(1, 2, 4),
+                                                keepdims=True) / cnt
+    y = (f32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, h, w, c).astype(x.dtype)
+    y = y * gamma.astype(x.dtype) + beta.astype(x.dtype)
+    if mask is not None:
+        y = y * mask.astype(y.dtype)
+    return y
+
+
+class GroupNorm(nn.Module):
+    """32-channels-per-group GroupNorm (reference ``GroupNorm`` helper)."""
+
+    channels_per_group: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        c = x.shape[-1]
+        assert c % self.channels_per_group == 0
+        gamma = self.param("scale", nn.initializers.ones, (c,))
+        beta = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(x, gamma, beta, c // self.channels_per_group,
+                          self.eps, mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# Spectral-norm conv
+# ---------------------------------------------------------------------------
+
+
+def _l2_normalize(v, eps=1e-12):
+    return v / jnp.maximum(jnp.linalg.norm(v), eps)
+
+
+class SNConv(nn.Module):
+    """Conv2D with spectral weight normalization (torch semantics).
+
+    State: power-iteration vectors ``u`` (out_features,) and ``v``
+    (fan_in,), kept in the ``spectral`` variable collection. With
+    ``update_stats=True`` one power iteration is run and the vectors are
+    updated (training); otherwise the stored vectors are used as-is (eval),
+    matching torch's train/eval behaviour.
+
+    The sigma matvec is done on the torch-layout (O, I*kh*kw) view of the
+    kernel so converted checkpoints reproduce torch numerics exactly.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = ((1, 1), (1, 1))
+    use_bias: bool = True
+    update_stats: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_features, self.features),
+        )
+        fan_in = in_features * kh * kw
+        u_var = self.variable(
+            "spectral", "u",
+            lambda: _l2_normalize(
+                jax.random.normal(self.make_rng("params")
+                                  if self.has_rng("params") else
+                                  jax.random.PRNGKey(0), (self.features,))))
+        v_var = self.variable(
+            "spectral", "v",
+            lambda: _l2_normalize(
+                jax.random.normal(jax.random.PRNGKey(1), (fan_in,))))
+
+        # torch layout: (O, I, kh, kw) flattened to (O, I*kh*kw)
+        w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(self.features, -1)
+        u, v = u_var.value, v_var.value
+        if self.update_stats:
+            v = _l2_normalize(w_mat.T @ u)
+            u = _l2_normalize(w_mat @ v)
+            u = jax.lax.stop_gradient(u)
+            v = jax.lax.stop_gradient(v)
+            u_var.value = u
+            v_var.value = v
+        sigma = jnp.dot(u, w_mat @ v)
+        w = (kernel / sigma).astype(self.dtype)
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w,
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Conv(nn.Module):
+    """Plain conv wrapper with explicit NHWC/HWIO layout (no flax magic)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = ((1, 1), (1, 1))
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, in_features, self.features))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Residual GN/swish block
+# ---------------------------------------------------------------------------
+
+
+class ResTextBlockV2(nn.Module):
+    """GroupNorm -> swish -> SNConv3x3 (x2) residual block.
+
+    The skip projection (``conv_out``) is a *plain* 1x1 conv — the reference
+    wraps only conv1/conv2 in spectral norm (``models/networks.py:501-505``).
+    Supports a column-validity ``mask`` for windowed (SFT) use.
+    """
+
+    features: int
+    update_stats: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_in, mask=None):
+        in_features = x_in.shape[-1]
+        x = GroupNorm(name="norm1")(x_in, mask=mask)
+        x = swish(x)
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   dtype=self.dtype, name="conv1")(x)
+        if mask is not None:
+            x = x * mask.astype(x.dtype)
+        x = GroupNorm(name="norm2")(x, mask=mask)
+        x = swish(x)
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   dtype=self.dtype, name="conv2")(x)
+        if mask is not None:
+            x = x * mask.astype(x.dtype)
+        if in_features != self.features:
+            x_in = Conv(self.features, kernel_size=(1, 1), padding="VALID",
+                        dtype=self.dtype, name="conv_out")(x_in)
+            if mask is not None:
+                x_in = x_in * mask.astype(x_in.dtype)
+        return x + x_in
+
+
+# ---------------------------------------------------------------------------
+# AdaIN
+# ---------------------------------------------------------------------------
+
+
+def masked_mean_std(x, mask=None, eps: float = 1e-5):
+    """Per-(batch, channel) mean/std of an NHWC tensor.
+
+    Matches ``calc_mean_std_4D`` (reference ``models/networks.py:518-525``):
+    *unbiased* variance (N-1 denominator) with eps added to the variance
+    before sqrt. ``mask`` (broadcastable to (B, H, W, 1)) restricts the
+    statistics to valid positions.
+    """
+    f32 = x.astype(jnp.float32)
+    if mask is None:
+        n = x.shape[1] * x.shape[2]
+        mean = f32.mean(axis=(1, 2), keepdims=True)
+        sq = jnp.square(f32 - mean).sum(axis=(1, 2), keepdims=True)
+    else:
+        m = jnp.broadcast_to(mask.astype(jnp.float32),
+                             f32.shape[:3] + (1,))
+        n = m.sum(axis=(1, 2), keepdims=True) * 1.0
+        mean = (f32 * m).sum(axis=(1, 2), keepdims=True) / jnp.maximum(n, 1.0)
+        sq = (jnp.square(f32 - mean) * m).sum(axis=(1, 2), keepdims=True)
+    denom = jnp.maximum(n - 1.0, 1.0)
+    var = sq / denom
+    std = jnp.sqrt(var + eps)
+    return mean.astype(x.dtype), std.astype(x.dtype)
+
+
+def adaptive_instance_norm(prior_feat, lq_feat, prior_mask=None,
+                           lq_mask=None):
+    """AdaIN: renormalize prior features to the LQ feature statistics.
+
+    Reference ``adaptive_instance_normalization`` (``models/networks.py:
+    528-533``). Masks restrict statistics to valid window columns.
+    """
+    lq_mean, lq_std = masked_mean_std(lq_feat, lq_mask)
+    p_mean, p_std = masked_mean_std(prior_feat, prior_mask)
+    out = (prior_feat - p_mean) / p_std * lq_std + lq_mean
+    if prior_mask is not None:
+        out = out * prior_mask.astype(out.dtype)
+    return out

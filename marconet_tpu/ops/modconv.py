@@ -1,0 +1,128 @@
+"""StyleGAN2-flavoured modulated convolution, TPU-first.
+
+The reference (``models/networks.py:249-302``) implements modulation by
+materializing a per-sample weight tensor and running a grouped conv with
+``groups=batch`` — a pattern that maps poorly to the MXU. Because the conv is
+linear in its weight, the modulation/demodulation factors can be folded into
+the activations instead:
+
+    conv(x, scale*W*s[b] * d[b]) == d[b] * conv(x * s[b], scale*W)
+
+so we run **one shared-weight batched conv** (ideal MXU shape) with an
+elementwise channel pre-scale and post-scale. This is numerically exact
+(same sum, reassociated) and is the idiomatic TPU formulation.
+
+Quirks preserved for checkpoint parity:
+- upsampling is bilinear x2 *before* the conv (reference ``networks.py:268,
+  291-296``), never upfirdn2d; ``blur_kernel`` is accepted but unused.
+- ``StyledConv`` adds two biases (its own + the FusedLeakyReLU's) before the
+  sqrt(2)-scaled LeakyReLU (reference ``networks.py:240-246``).
+- ``ToRGB`` applies tanh on every skip-summed output (reference
+  ``networks.py:305-321``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from marconet_tpu.ops.fused_act import fused_leaky_relu
+from marconet_tpu.ops.layers import EqualLinear
+from marconet_tpu.ops.resize import upsample2x_bilinear
+
+Dtype = Any
+
+
+class ModulatedConv2d(nn.Module):
+    """Style-modulated conv with activation-folded (de)modulation."""
+
+    features: int
+    kernel_size: int = 3
+    demodulate: bool = True
+    upsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style):
+        """x: (B, H, W, I) NHWC; style: (B, style_dim)."""
+        in_features = x.shape[-1]
+        k = self.kernel_size
+        # torch init: randn(1, O, I, k, k); stored here as HWIO
+        weight = self.param(
+            "weight",
+            lambda key, shape: jax.random.normal(key, shape),
+            (k, k, in_features, self.features),
+        )
+        # style -> per-input-channel modulation (bias_init=1)
+        s = EqualLinear(in_features, bias_init_val=1.0, dtype=self.dtype,
+                        name="modulation")(style)  # (B, I)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(in_features * k * k,
+                                           jnp.float32))
+        w = (weight * scale).astype(self.dtype)
+
+        if self.demodulate:
+            # d[b, o] = rsqrt(sum_{k,k,i} (scale * W * s[b,i])^2 + 1e-8)
+            w2 = jnp.square(weight.astype(jnp.float32) *
+                            scale.astype(jnp.float32))
+            # (B, O) = s^2 (B, I) . sum_khw W^2 (I, O)
+            demod = jax.lax.rsqrt(
+                jnp.einsum("bi,io->bo", jnp.square(s.astype(jnp.float32)),
+                           w2.sum(axis=(0, 1))) + 1e-8).astype(self.dtype)
+
+        x = x.astype(self.dtype) * s[:, None, None, :]
+        if self.upsample:
+            x = upsample2x_bilinear(x)
+        pad = k // 2
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.demodulate:
+            y = y * demod[:, None, None, :]
+        return y
+
+
+class StyledConv(nn.Module):
+    """ModulatedConv2d + bias + FusedLeakyReLU (with its own bias)."""
+
+    features: int
+    kernel_size: int = 3
+    upsample: bool = False
+    demodulate: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style):
+        y = ModulatedConv2d(self.features, self.kernel_size,
+                            demodulate=self.demodulate,
+                            upsample=self.upsample, dtype=self.dtype,
+                            name="conv")(x, style)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        act_bias = self.param("act_bias", nn.initializers.zeros,
+                              (self.features,))
+        # Both biases are added pre-activation; fold into one fused op.
+        return fused_leaky_relu(y, (bias + act_bias).astype(y.dtype))
+
+
+class ToRGB(nn.Module):
+    """1x1 modulated conv to RGB with tanh'd skip accumulation."""
+
+    upsample: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style, skip: Optional[jax.Array] = None):
+        y = ModulatedConv2d(3, kernel_size=1, demodulate=False,
+                            dtype=self.dtype, name="conv")(x, style)
+        bias = self.param("bias", nn.initializers.zeros, (3,))
+        y = y + bias.astype(y.dtype)
+        if skip is not None:
+            if self.upsample:
+                skip = upsample2x_bilinear(skip)
+            y = y + skip
+        return jnp.tanh(y)

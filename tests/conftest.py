@@ -1,0 +1,37 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests use XLA's
+host-platform device-count override instead (the TPU-native analogue of the
+reference's untested NCCL/DDP path — see SURVEY.md §4).
+"""
+
+import os
+
+# The environment pins JAX_PLATFORMS=axon (the tunnelled TPU) and a
+# sitecustomize module imports jax at interpreter start, freezing that
+# choice before this file runs — so the env var alone is not enough; we
+# must also update the live jax config. Unit tests must be deterministic
+# f32 CPU runs.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.default_backend() == "cpu", "tests must run on CPU"
+    assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
