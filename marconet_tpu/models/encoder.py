@@ -1,0 +1,248 @@
+"""Text context encoder: ResNet-45 backbone + three-branch ViT head.
+
+Predicts, from a low-quality text-line image, the per-token character
+logits, per-character box (center, half-width) pairs and a 512-d font-style
+vector ``w``.
+
+Parity target: ``TextContextEncoderV2`` in reference ``models/networks.py:
+27-45`` = resnet45 (``models/resnet.py:32-74``, height-only strides) +
+``TextViT`` (``models/textvit_arch.py:12-77``). 43.06 M parameters total.
+
+I/O (NHWC): (B, 32, 512, 3) -> logits (B, 64, 6736), locs (B, 32),
+w (B, 512).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from marconet_tpu.ops.layers import Conv
+
+Dtype = Any
+
+MAX_CHARS = 16
+NUM_TOKENS = 64
+
+
+# ---------------------------------------------------------------------------
+# ResNet-45 backbone (height-only downsampling: 32 -> 8, width kept at 512)
+# ---------------------------------------------------------------------------
+
+
+class BasicBlock(nn.Module):
+    """1x1 conv -> relu -> strided 3x3 conv, with 1x1 projection skip."""
+
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        y = Conv(self.features, kernel_size=(1, 1), padding="VALID",
+                 use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = jax.nn.relu(y)
+        y = Conv(self.features, kernel_size=(3, 3), strides=self.strides,
+                 padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                 name="conv2")(y)
+        if self.strides != (1, 1) or in_features != self.features:
+            x = Conv(self.features, kernel_size=(1, 1), strides=self.strides,
+                     padding="VALID", use_bias=False, dtype=self.dtype,
+                     name="downsample")(x)
+        return jax.nn.relu(y + x)
+
+
+class ResNet45(nn.Module):
+    """Five-stage ResNet with (2,1) strides on stages 1 and 3.
+
+    Stage plan (blocks, channels, stride): (3,32,(2,1)), (4,64,1),
+    (6,128,(2,1)), (6,256,1), (3,512,1) — reference ``models/resnet.py:73-74``.
+    """
+
+    dtype: Dtype = jnp.float32
+    stage_blocks: Sequence[int] = (3, 4, 6, 6, 3)
+    stage_features: Sequence[int] = (32, 64, 128, 256, 512)
+    stage_strides: Sequence[Tuple[int, int]] = (
+        (2, 1), (1, 1), (2, 1), (1, 1), (1, 1))
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(32, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                 use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = jax.nn.relu(x)
+        for si, (blocks, feats, stride) in enumerate(zip(
+                self.stage_blocks, self.stage_features, self.stage_strides)):
+            for bi in range(blocks):
+                x = BasicBlock(feats,
+                               strides=stride if bi == 0 else (1, 1),
+                               dtype=self.dtype,
+                               name=f"layer{si + 1}_{bi}")(x)
+        return x  # (B, 8, 512, 512)
+
+
+# ---------------------------------------------------------------------------
+# ViT head
+# ---------------------------------------------------------------------------
+
+
+def posemb_sincos_2d(h: int, w: int, dim: int, temperature: float = 10000.0):
+    """2-D sin/cos positional embedding (reference ``textvit_arch.py:170-181``).
+
+    Layout: concat(sin(x*om), cos(x*om), sin(y*om), cos(y*om)).
+    """
+    assert dim % 4 == 0
+    y, x = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                        jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    omega = jnp.arange(dim // 4, dtype=jnp.float32) / (dim // 4 - 1)
+    omega = 1.0 / (temperature ** omega)
+    xo = x.reshape(-1)[:, None] * omega[None, :]
+    yo = y.reshape(-1)[:, None] * omega[None, :]
+    return jnp.concatenate(
+        [jnp.sin(xo), jnp.cos(xo), jnp.sin(yo), jnp.cos(yo)], axis=1)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dense(dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, d = x.shape
+        inner = self.heads * self.dim_head
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(
+                0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhid,bhjd->bhij", q, k,
+                       preferred_element_type=jnp.float32)
+            * (self.dim_head ** -0.5), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_out")(
+            out)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-norm attention + MLP with residuals."""
+
+    mlp_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Attention(dtype=self.dtype, name="attn")(x) + x
+        x = Mlp(self.mlp_dim, dtype=self.dtype, name="ff")(x) + x
+        return x
+
+
+class SeqProject(nn.Module):
+    """LayerNorm over the sequence axis + linear sequence-length projection.
+
+    Implements the reference's ``linear_seq_maxlen`` / ``linear_w_maxlen``
+    pattern (``textvit_arch.py:141-144,59-62``): permute to (B, D, N),
+    LayerNorm(N), Linear(N -> out), permute back.
+    """
+
+    out_len: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, D)
+        t = x.transpose(0, 2, 1)  # (B, D, N)
+        t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(t)
+        t = nn.Dense(self.out_len, dtype=self.dtype, name="proj")(t)
+        return t.transpose(0, 2, 1)  # (B, out_len, D)
+
+
+class TextViTHead(nn.Module):
+    """Shared trunk + three branch transformer head."""
+
+    num_classes: int = 6736
+    dim: int = 512
+    mlp_dim: int = 1024
+    max_length: int = MAX_CHARS
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat):  # feat: (B, 8, 512, 512) NHWC
+        b, h, w, c = feat.shape
+        p = 8
+        # patchify: (p1 p2 c) flatten order matches the reference einops
+        # rearrange 'b c (h p1) (w p2) -> b h w (p1 p2 c)'
+        x = feat.reshape(b, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (w // p),
+                                                  p * p * c)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="patch_embed")(x)
+        x = x + posemb_sincos_2d(h // p, w // p, self.dim).astype(x.dtype)
+
+        for i in range(2):
+            x = EncoderBlock(self.mlp_dim, dtype=self.dtype,
+                             name=f"shared_{i}")(x)
+
+        x_cls = EncoderBlock(self.mlp_dim, dtype=self.dtype,
+                             name="branch_cls")(x)
+        x16 = SeqProject(self.max_length, dtype=self.dtype,
+                         name="seq_to_maxlen")(x)
+        x_loc = EncoderBlock(self.mlp_dim // 2, dtype=self.dtype,
+                             name="branch_locs")(x16)
+        x_w = EncoderBlock(self.mlp_dim // 2, dtype=self.dtype,
+                           name="branch_w")(x)
+
+        # classification head: per-token logits
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="head_cls_proj")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_cls_norm")(x_cls))
+
+        # locs head: (B, 16, 2) in (0,1) -> (B, 32)
+        t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_locs_norm")(x_loc)
+        t = nn.Dense(self.dim // 2, dtype=self.dtype, name="head_locs_fc1")(t)
+        t = jax.nn.gelu(t, approximate=False)
+        t = nn.Dense(2, dtype=self.dtype, name="head_locs_fc2")(t)
+        locs = jax.nn.sigmoid(t).reshape(b, -1)
+
+        # w head: pool sequence 64 -> 1, then LN + Dense 512
+        pooled = SeqProject(1, dtype=self.dtype, name="w_seq_pool")(x_w)
+        wvec = nn.Dense(self.dim, dtype=self.dtype, name="head_w_proj")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_w_norm")(
+                pooled.reshape(b, self.dim)))
+        return logits, locs, wvec
+
+
+class TextContextEncoder(nn.Module):
+    """ResNet-45 + TextViT; the reference's ``TextContextEncoderV2``."""
+
+    num_classes: int = 6736
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lq):
+        """lq: (B, 32, 512, 3) NHWC in [-1, 1]."""
+        feat = ResNet45(dtype=self.dtype, name="resnet")(lq)
+        return TextViTHead(num_classes=self.num_classes, dtype=self.dtype,
+                           name="vit")(feat)

@@ -1,0 +1,262 @@
+"""Structure-prior SR network: x4 text-line super-resolution with
+per-character SFT (spatial feature transform) fusion.
+
+Parity target: ``TSPSRNet`` in reference ``models/networks.py:328-485``
+(16.87 M parameters).
+
+TPU-first redesign of the fusion. The reference runs two nested python
+loops over (batch, character), dynamically slicing a variable-width window
+per character, AdaIN-ing the character's prior features into the window's
+statistics, running three small conv stacks, and writing the SFT residual
+back into a canvas where later characters overwrite earlier ones
+(``networks.py:411-485``). Here the same math is a fixed-shape batched
+program:
+
+* each of the 16 character slots extracts a constant-width window
+  (2*half_width) from a right-padded canvas with ``dynamic_slice``;
+* truncated edge windows are handled with a column-validity mask — convs
+  see zeros beyond the valid columns exactly like the reference's zero
+  padding, and GroupNorm/AdaIN statistics are computed over valid columns
+  only (numerically identical to slicing the exact window);
+* all (B x 16) windows run through the conv stacks as ONE batched conv —
+  MXU-friendly — instead of 16 sequential tiny convs;
+* the write-back is a 16-step ``fori_loop`` of masked
+  ``dynamic_update_slice`` ops, preserving the reference's deterministic
+  last-writer-wins overlap semantics.
+
+Window geometry (reference ``networks.py:427-441,460-474``): the predicted
+width is computed then overwritten by a constant half-width (16 at the
+32-high scale, 32 at the 64-high scale); ``x1 = max(center - hw, 0)``,
+``x2 = min(center + hw, W)``, and the prior crop of length ``L = x2 - x1``
+is centered: ``y1 = hw - L // 2``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from marconet_tpu.ops.layers import (
+    Conv,
+    ResTextBlockV2,
+    SNConv,
+    adaptive_instance_norm,
+    leaky_relu,
+)
+from marconet_tpu.ops.resize import upsample2x_bilinear
+
+Dtype = Any
+
+MAX_CHARS = 16
+
+
+class SNStack(nn.Module):
+    """SNConv -> LeakyReLU(0.2) -> SNConv with per-conv column masking.
+
+    Masking after each conv keeps invalid window columns at the values the
+    reference's exact-width slices would produce at the valid/invalid
+    boundary (zero padding).
+    """
+
+    features: int
+    update_stats: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   dtype=self.dtype, name="conv1")(x)
+        if mask is not None:
+            x = x * mask.astype(x.dtype)
+        x = leaky_relu(x)
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   dtype=self.dtype, name="conv2")(x)
+        if mask is not None:
+            x = x * mask.astype(x.dtype)
+        return x
+
+
+def _window_geometry(locs, half_width: int, width: int):
+    """Static-shape window geometry for all 16 slots.
+
+    Args:
+      locs: (B, 2*MAX_CHARS) normalized (center, half-width) pairs.
+      half_width: constant half-width at this scale (16 or 32).
+      width: canvas width at this scale (512 or 1024).
+    Returns:
+      x1 (B, N) int32 window starts, L (B, N) valid lengths,
+      y1 (B, N) prior-crop starts.
+    """
+    centers = locs[:, 0::2]  # (B, N)
+    center = jnp.floor(centers.astype(jnp.float32) * width).astype(jnp.int32)
+    x1 = jnp.maximum(center - half_width, 0)
+    x2 = jnp.minimum(center + half_width, width)
+    x2 = jnp.maximum(x2, x1)  # degenerate centers outside the canvas
+    L = x2 - x1
+    y1 = half_width - L // 2
+    return x1, L, y1
+
+
+def _gather_windows(canvas, starts, win: int):
+    """canvas (B, H, W+win, C), starts (B, N) -> (B, N, H, win, C)."""
+
+    def one(c, s):  # c: (H, Wp, C), s: scalar
+        return jax.lax.dynamic_slice_in_dim(c, s, win, axis=1)
+
+    return jax.vmap(  # over batch
+        jax.vmap(one, in_axes=(None, 0)), in_axes=(0, 0))(canvas, starts)
+
+
+class SFTFusion(nn.Module):
+    """One scale of per-character SFT fusion (batched, masked)."""
+
+    half_width: int
+    features: int = 256
+    update_stats: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, canvas, priors, locs, char_mask):
+        """
+        Args:
+          canvas: (B, H, W, C) LQ feature canvas at this scale.
+          priors: (B, N, H, 2*hw, C) per-slot prior features (same C).
+          locs: (B, 2N) normalized (center, half-width) pairs.
+          char_mask: (B, N) slot validity.
+        Returns:
+          canvas + residual, reference overlap semantics.
+        """
+        b, h, width, c = canvas.shape
+        n = priors.shape[1]
+        hw = self.half_width
+        win = 2 * hw
+
+        x1, L, y1 = _window_geometry(locs, hw, width)
+
+        # windows from the right-padded canvas — constant width `win`
+        padded = jnp.pad(canvas, ((0, 0), (0, 0), (0, win), (0, 0)))
+        lq_win = _gather_windows(padded, x1, win)  # (B, N, H, win, C)
+
+        # prior crop: cols y1..y1+L map to window cols 0..L
+        prior_pad = jnp.pad(priors, ((0, 0), (0, 0), (0, 0), (0, win),
+                                     (0, 0)))
+
+        def crop(p, s):  # p: (H, 2*win, C)
+            return jax.lax.dynamic_slice_in_dim(p, s, win, axis=1)
+
+        prior_win = jax.vmap(jax.vmap(crop))(prior_pad, y1)
+
+        # column-validity mask (B, N, 1, win, 1)
+        cols = jnp.arange(win)
+        colmask = (cols[None, None, :] < L[:, :, None]).astype(canvas.dtype)
+        colmask = colmask[:, :, None, :, None]
+
+        # flatten slots into the batch: one big conv program
+        def flat(t):
+            return t.reshape(b * n, h, win, t.shape[-1])
+
+        lq_f, prior_f = flat(lq_win), flat(prior_win)
+        m = colmask.reshape(b * n, 1, win, 1)
+        lq_f = lq_f * m.astype(lq_f.dtype)
+        prior_f = prior_f * m.astype(prior_f.dtype)
+
+        adain = adaptive_instance_norm(prior_f, lq_f, prior_mask=m,
+                                       lq_mask=m)
+        fuse = ResTextBlockV2(self.features,
+                              update_stats=self.update_stats,
+                              dtype=self.dtype, name="fuse")(
+            jnp.concatenate([adain, lq_f], axis=-1), mask=m)
+        scale = SNStack(self.features, update_stats=self.update_stats,
+                        dtype=self.dtype, name="scale")(fuse, mask=m)
+        shift = SNStack(self.features, update_stats=self.update_stats,
+                        dtype=self.dtype, name="shift")(fuse, mask=m)
+        out_win = (lq_f * scale + shift).reshape(b, n, h, win, c)
+
+        # sequential masked write-back: later slots overwrite earlier ones
+        write_mask = colmask * char_mask[:, :, None, None, None].astype(
+            canvas.dtype)
+        res0 = jnp.zeros_like(padded)
+
+        def write_one(res, slot):
+            def per_sample(r, w_, m_, s):
+                cur = jax.lax.dynamic_slice_in_dim(r, s, win, axis=1)
+                new = jnp.where(m_ > 0, w_, cur)
+                return jax.lax.dynamic_update_slice_in_dim(r, new, s, axis=1)
+
+            return jax.vmap(per_sample)(res, out_win[:, slot],
+                                        write_mask[:, slot], x1[:, slot])
+
+        res = jax.lax.fori_loop(
+            0, n, lambda i, r: write_one(r, i), res0, unroll=True)
+        return canvas + res[:, :, :width, :]
+
+
+class StructurePriorSRNet(nn.Module):
+    """The reference's ``TSPSRNet``: encoder/decoder + 2-scale SFT fusion."""
+
+    dim: int = 256
+    update_stats: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lq, prior64, prior32, locs, char_mask=None):
+        """
+        Args:
+          lq: (B, 32, 512, 3) NHWC in [-1, 1].
+          prior64: (B, N, 64, 64, 256) per-character 64x64 prior features.
+          prior32: (B, N, 32, 32, 512) per-character 32x32 prior features.
+          locs: (B, 2N) normalized (center, half-width) pairs.
+          char_mask: (B, N) slot validity (defaults to all-valid).
+        Returns:
+          (B, 128, 2048, 3) x4 SR output in [-1, 1].
+        """
+        d = self.dim
+        b, _, _, _ = lq.shape
+        n = prior64.shape[1]
+        if char_mask is None:
+            char_mask = jnp.ones((b, n), self.dtype)
+        us, dt = self.update_stats, self.dtype
+
+        def sn(feats, strides=(1, 1), name=""):
+            return SNConv(feats, strides=strides, update_stats=us, dtype=dt,
+                          name=name)
+
+        # encoder pyramid (heights 32 -> 16 -> 8)
+        f32 = leaky_relu(sn(d // 4, name="first_32")(lq))
+        f16 = leaky_relu(sn(d // 2, strides=(2, 2), name="first_16")(f32))
+        f8 = sn(d, name="first_8b")(
+            leaky_relu(sn(d, strides=(2, 2), name="first_8a")(f16)))
+
+        # decoder with skip concat
+        s16 = sn(d, name="body_16b")(leaky_relu(sn(d, name="body_16a")(
+            jnp.concatenate([upsample2x_bilinear(f8), f16], axis=-1))))
+        s32 = sn(d, name="body_32b")(leaky_relu(sn(d, name="body_32a")(
+            jnp.concatenate([upsample2x_bilinear(s16), f32], axis=-1))))
+
+        # ---- SFT at the 32-high scale (canvas 32 x 512) ----
+        p32 = prior32.reshape(b * n, *prior32.shape[2:])
+        p32 = SNStack(d, update_stats=us, dtype=dt, name="to256")(p32)
+        p32 = p32.reshape(b, n, *p32.shape[1:])
+        s32 = SFTFusion(half_width=16, features=d, update_stats=us,
+                        dtype=dt, name="sft_32")(s32, p32, locs, char_mask)
+
+        # up to the 64-high scale
+        x = leaky_relu(sn(d, name="up_a")(upsample2x_bilinear(s32)))
+        x = ResTextBlockV2(d, update_stats=us, dtype=dt, name="up_res")(x)
+        s64 = sn(d, name="up_b")(x)
+
+        # ---- SFT at the 64-high scale (canvas 64 x 1024) ----
+        s64 = SFTFusion(half_width=32, features=d, update_stats=us,
+                        dtype=dt, name="sft_64")(s64, prior64, locs,
+                                                 char_mask)
+
+        # final x2 to 128 x 2048
+        x = leaky_relu(sn(d // 2, name="final_a")(s64))
+        x = leaky_relu(sn(d // 4, name="final_b")(upsample2x_bilinear(x)))
+        x = ResTextBlockV2(d // 4, update_stats=us, dtype=dt,
+                           name="final_res")(x)
+        x = sn(3, name="final_out")(x)
+        return jnp.tanh(x)

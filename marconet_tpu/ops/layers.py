@@ -196,20 +196,26 @@ class SNConv(nn.Module):
             nn.initializers.lecun_normal(),
             (kh, kw, in_features, self.features),
         )
-        fan_in = in_features * kh * kw
-        u_var = self.variable(
-            "spectral", "u",
-            lambda: _l2_normalize(
-                jax.random.normal(self.make_rng("params")
-                                  if self.has_rng("params") else
-                                  jax.random.PRNGKey(0), (self.features,))))
-        v_var = self.variable(
-            "spectral", "v",
-            lambda: _l2_normalize(
-                jax.random.normal(jax.random.PRNGKey(1), (fan_in,))))
-
         # torch layout: (O, I, kh, kw) flattened to (O, I*kh*kw)
         w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(self.features, -1)
+
+        def init_u():
+            # Unlike torch (whose first training forward aligns random
+            # u/v via power iteration), we align at init so sigma starts
+            # at ~sigma_max even for never-trained random weights.
+            u = _l2_normalize(jax.random.normal(
+                self.make_rng("params") if self.has_rng("params")
+                else jax.random.PRNGKey(0), (self.features,)))
+            for _ in range(15):
+                v = _l2_normalize(w_mat.T @ u)
+                u = _l2_normalize(w_mat @ v)
+            return jax.lax.stop_gradient(u)
+
+        u_var = self.variable("spectral", "u", init_u)
+        v_var = self.variable(
+            "spectral", "v",
+            lambda: jax.lax.stop_gradient(
+                _l2_normalize(w_mat.T @ u_var.value)))
         u, v = u_var.value, v_var.value
         if self.update_stats:
             v = _l2_normalize(w_mat.T @ u)

@@ -1,0 +1,148 @@
+"""Model-level invariants: parameter counts (the parity gate vs the
+reference's printed numbers) and I/O shapes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from marconet_tpu.models import (
+    TextContextEncoder,
+    StructurePriorGenerator,
+    StructurePriorSRNet,
+)
+from marconet_tpu.models.pipeline import MARCONet
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def small_batch():
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.standard_normal((1, 32, 512, 3), dtype=np.float32))
+    return lq
+
+
+class TestEncoder:
+    @pytest.fixture(scope="class")
+    def enc(self, small_batch):
+        m = TextContextEncoder()
+        return m, m.init(jax.random.PRNGKey(0), small_batch)
+
+    def test_param_count_matches_reference(self, enc):
+        # reference prints 43.06 M (test_sr.py:59); exact: 43,060,096
+        _, variables = enc
+        total = n_params(variables["params"])
+        assert abs(total / 1e6 - 43.06) < 0.01, total
+
+    def test_output_shapes(self, enc, small_batch):
+        m, variables = enc
+        logits, locs, w = m.apply(variables, small_batch)
+        assert logits.shape == (1, 64, 6736)
+        assert locs.shape == (1, 32)
+        assert w.shape == (1, 512)
+        # locs are sigmoid outputs
+        assert float(jnp.min(locs)) >= 0.0 and float(jnp.max(locs)) <= 1.0
+
+
+class TestPriorGenerator:
+    @pytest.fixture(scope="class")
+    def gen(self):
+        m = StructurePriorGenerator()
+        styles = jnp.zeros((2, 512))
+        labels = jnp.array([3, 77], jnp.int32)
+        return m, m.init(jax.random.PRNGKey(0), styles, labels)
+
+    def test_param_count_matches_reference(self, gen):
+        # reference prints 27.97 M (test_sr.py:60)
+        _, variables = gen
+        total = n_params(variables["params"])
+        assert abs(total / 1e6 - 27.97) < 0.01, total
+
+    def test_output_shapes(self, gen):
+        m, variables = gen
+        rng = np.random.default_rng(1)
+        styles = jnp.asarray(rng.standard_normal((2, 512),
+                                                 dtype=np.float32))
+        labels = jnp.array([3, 77], jnp.int32)
+        out = m.apply(variables, styles, labels)
+        assert out.image.shape == (2, 128, 128, 3)
+        assert out.feat64.shape == (2, 64, 64, 256)
+        assert out.feat32.shape == (2, 32, 32, 512)
+        assert out.rgb64.shape == (2, 64, 64, 3)
+        assert out.rgb32.shape == (2, 32, 32, 3)
+        # tanh range
+        assert float(jnp.max(jnp.abs(out.image))) <= 1.0
+
+
+class TestSRNet:
+    @pytest.fixture(scope="class")
+    def srn(self, small_batch):
+        m = StructurePriorSRNet()
+        rng = np.random.default_rng(2)
+        p64 = jnp.asarray(rng.standard_normal((1, 16, 64, 64, 256),
+                                              dtype=np.float32) * 0.1)
+        p32 = jnp.asarray(rng.standard_normal((1, 16, 32, 32, 512),
+                                              dtype=np.float32) * 0.1)
+        locs = jnp.asarray(
+            rng.uniform(0.05, 0.95, (1, 32)).astype(np.float32))
+        variables = m.init(jax.random.PRNGKey(0), small_batch, p64, p32,
+                           locs)
+        return m, variables, p64, p32, locs
+
+    def test_param_count_matches_reference(self, srn):
+        # reference prints 16.87 M (test_sr.py:61)
+        _, variables, *_ = srn
+        total = n_params(variables["params"])
+        assert abs(total / 1e6 - 16.87) < 0.01, total
+
+    def test_output_shape_and_range(self, srn, small_batch):
+        m, variables, p64, p32, locs = srn
+        out = m.apply(variables, small_batch, p64, p32, locs)
+        assert out.shape == (1, 128, 2048, 3)
+        assert float(jnp.max(jnp.abs(out))) <= 1.0
+
+    def test_masked_slots_do_not_affect_output(self, srn, small_batch):
+        """Invalid char slots must have zero influence (static-slot
+        design invariant)."""
+        m, variables, p64, p32, locs = srn
+        mask = jnp.array([[1.0] * 4 + [0.0] * 12])
+        out1 = m.apply(variables, small_batch, p64, p32, locs, mask)
+        # perturb the masked slots' priors and locs wildly
+        p64b = p64.at[:, 4:].set(13.7)
+        p32b = p32.at[:, 4:].set(-9.1)
+        locsb = locs.at[:, 8:].set(0.5)
+        out2 = m.apply(variables, small_batch, p64b, p32b, locsb, mask)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-5)
+
+
+class TestPipeline:
+    def test_restore_shapes(self):
+        net = MARCONet()
+        params = net.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        lq = jnp.asarray(rng.uniform(-1, 1, (1, 32, 512, 3))
+                         .astype(np.float32))
+        labels = jnp.full((1, 16), 6735, jnp.int32)
+        labels = labels.at[0, :3].set(jnp.array([5, 9, 200]))
+        locs = jnp.zeros((1, 32), jnp.float32)
+        locs = locs.at[0, :6].set(jnp.array([.1, .03, .2, .03, .3, .03]))
+        mask = jnp.zeros((1, 16), jnp.float32).at[0, :3].set(1.0)
+        out = net.restore(params, lq, labels, locs, mask)
+        assert out.sr.shape == (1, 128, 2048, 3)
+        assert out.priors.shape == (1, 16, 128, 128, 3)
+        assert out.logits.shape == (1, 64, 6736)
+        assert out.w.shape == (1, 512)
+
+    def test_interpolate_styles(self):
+        net = MARCONet()
+        params = net.init(jax.random.PRNGKey(1))
+        w1 = jnp.ones((512,)) * 0.1
+        w2 = -jnp.ones((512,)) * 0.1
+        labels = jnp.array([1, 2], jnp.int32)
+        weights = jnp.linspace(0.0, 1.0, 3)
+        imgs = net.interpolate_styles(params, w1, w2, labels, weights)
+        assert imgs.shape == (3, 2, 128, 128, 3)
