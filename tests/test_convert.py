@@ -1,0 +1,104 @@
+"""Checkpoint-converter end-to-end tests.
+
+Build state dicts with the released checkpoints' exact key names (random
+weights), convert them, and require the JAX models to reproduce the
+functional torch oracles' outputs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from marconet_tpu.convert import (
+    convert_encoder,
+    convert_prior,
+    convert_srnet,
+)
+from marconet_tpu.models import (
+    TextContextEncoder,
+    StructurePriorGenerator,
+    StructurePriorSRNet,
+)
+from tests import torch_functional_oracle as oracle
+
+
+def nchw(x):
+    return np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2)))
+
+
+def nhwc(x):
+    return np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def test_encoder_conversion_end_to_end(rng):
+    sd = oracle.build_encoder_state(rng)
+    variables = convert_encoder(sd)
+    x = rng.uniform(-1, 1, (2, 32, 512, 3)).astype(np.float32)
+
+    want_logits, want_locs, want_w = oracle.encoder_forward(sd, nchw(x))
+    got = TextContextEncoder().apply(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(x))
+    got_logits, got_locs, got_w = map(np.asarray, got)
+
+    np.testing.assert_allclose(got_logits, want_logits, rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(got_locs, want_locs, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(got_w, want_w, rtol=2e-3, atol=2e-3)
+
+
+def test_prior_conversion_end_to_end(rng):
+    num_classes = 64  # small codebook keeps the test light
+    sd = oracle.build_prior_state(rng, num_classes=num_classes)
+    variables = convert_prior(sd)
+    styles = rng.standard_normal((3, 512)).astype(np.float32)
+    labels = np.array([1, 17, 63])
+
+    want_img, want_f64, want_f32 = oracle.prior_forward(sd, styles, labels)
+    m = StructurePriorGenerator(num_classes=num_classes)
+    out = m.apply(jax.tree.map(jnp.asarray, variables),
+                  jnp.asarray(styles), jnp.asarray(labels))
+
+    np.testing.assert_allclose(np.asarray(out.image), nhwc(want_img),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.feat64), nhwc(want_f64),
+                               rtol=1e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out.feat32), nhwc(want_f32),
+                               rtol=1e-3, atol=2e-2)
+
+
+@pytest.mark.parametrize("centers", [
+    [0.1, 0.35, 0.62, 0.9],        # interior chars
+    [0.01, 0.5, 0.99],             # truncated edge windows
+])
+def test_srnet_conversion_end_to_end(rng, centers):
+    sd = oracle.build_srnet_state(rng)
+    variables = convert_srnet(sd)
+
+    n = len(centers)
+    lq = rng.uniform(-1, 1, (1, 32, 512, 3)).astype(np.float32)
+    p64 = (rng.standard_normal((n, 64, 64, 256)) * 0.3).astype(np.float32)
+    p32 = (rng.standard_normal((n, 32, 32, 512)) * 0.3).astype(np.float32)
+    locs_t = np.zeros((1, 2 * n), np.float32)
+    locs_t[0, 0::2] = centers
+    locs_t[0, 1::2] = 0.03
+
+    want = oracle.srnet_forward(sd, nchw(lq), nchw(p64), nchw(p32), locs_t)
+
+    # pad to the 16-slot static layout
+    N = 16
+    p64p = np.zeros((1, N, 64, 64, 256), np.float32)
+    p32p = np.zeros((1, N, 32, 32, 512), np.float32)
+    p64p[0, :n] = p64
+    p32p[0, :n] = p32
+    locs = np.zeros((1, 2 * N), np.float32)
+    locs[0, :2 * n] = locs_t[0]
+    mask = np.zeros((1, N), np.float32)
+    mask[0, :n] = 1.0
+
+    got = StructurePriorSRNet().apply(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(lq),
+        jnp.asarray(p64p), jnp.asarray(p32p), jnp.asarray(locs),
+        jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), nhwc(want), rtol=1e-3,
+                               atol=2e-3)
