@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark: x4 SR text-line crops/sec on one chip (full pipeline).
+
+Measures the end-to-end jitted restore program — encoder, 16-slot prior
+generation and SFT SR — in bfloat16 at a service batch size, on whatever
+single device JAX provides (TPU under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is against the 500 crops/sec/chip north star
+(BASELINE.md; the reference's measurable baseline is a CPU-only
+19.5 s/image survey measurement — no GPU figure is published).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from marconet_tpu.alphabet import BLANK_INDEX
+    from marconet_tpu.models.pipeline import MARCONet
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    net = MARCONet(dtype=jnp.bfloat16)
+    params = net.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.uniform(-1, 1, (batch, 32, 512, 3))
+                     .astype(np.float32), jnp.bfloat16)
+    labels = np.full((batch, 16), BLANK_INDEX, np.int32)
+    locs = np.zeros((batch, 32), np.float32)
+    mask = np.zeros((batch, 16), np.float32)
+    for i in range(batch):
+        n = 8
+        labels[i, :n] = rng.integers(0, 6735, n)
+        for c in range(n):
+            locs[i, 2 * c] = 0.06 + 0.11 * c
+            locs[i, 2 * c + 1] = 0.03
+        mask[i, :n] = 1.0
+    labels, locs, mask = map(jnp.asarray, (labels, locs, mask))
+
+    def run():
+        return net.restore(params, lq, labels, locs, mask).sr
+
+    # warmup + compile
+    out = run()
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    crops_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "sr_crops_per_sec_per_chip",
+        "value": round(crops_per_sec, 2),
+        "unit": "crops/s",
+        "vs_baseline": round(crops_per_sec / 500.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -189,8 +189,7 @@ class SFTFusion(nn.Module):
             return jax.vmap(per_sample)(res, out_win[:, slot],
                                         write_mask[:, slot], x1[:, slot])
 
-        res = jax.lax.fori_loop(
-            0, n, lambda i, r: write_one(r, i), res0, unroll=True)
+        res = jax.lax.fori_loop(0, n, lambda i, r: write_one(r, i), res0)
         return canvas + res[:, :, :width, :]
 
 

@@ -46,13 +46,17 @@ def _fused_lrelu_ref(x, bias, negative_slope, scale):
 
 
 def _fwd_kernel(x_ref, b_ref, o_ref, *, negative_slope, scale):
-    x = x_ref[:] + b_ref[:]
-    o_ref[:] = jnp.where(x >= 0, x, x * negative_slope) * scale
+    # compute in f32: Mosaic on v5e rejects sub-f32 comparisons
+    x = x_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    y = jnp.where(x >= 0, x, x * negative_slope) * scale
+    o_ref[:] = y.astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, b_ref, g_ref, dx_ref, *, negative_slope, scale):
-    x = x_ref[:] + b_ref[:]
-    dx_ref[:] = jnp.where(x >= 0, scale, negative_slope * scale) * g_ref[:]
+    x = x_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    dx = jnp.where(x >= 0, scale, negative_slope * scale) * \
+        g_ref[:].astype(jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _row_tile(n_rows: int, n_cols: int, dtype) -> int:

@@ -1,0 +1,8 @@
+from marconet_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]

@@ -1,0 +1,194 @@
+"""Training stack tests: loss numerics vs torch, batch prep, and a full
+jitted GAN train step on an 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from marconet_tpu.alphabet import BLANK_INDEX
+from marconet_tpu.data.batch_prep import prepare_train_batch
+from marconet_tpu.train import losses as L
+from marconet_tpu.train.discriminators import UNetDiscriminatorSN
+from marconet_tpu.train.train_step import (
+    MARCONetTrainer,
+    TrainBatch,
+    TrainConfig,
+    crop_chars,
+)
+
+
+class TestLosses:
+    def test_ctc_matches_torch(self, rng):
+        B, T, C = 2, 12, 20
+        blank = C - 1
+        logits = rng.standard_normal((B, T, C)).astype(np.float32)
+        labels = np.full((B, 6), blank, np.int64)
+        labels[0, :3] = [1, 5, 2]
+        labels[1, :4] = [7, 7, 3, 9]
+
+        got = float(L.ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                               blank=blank))
+        logp = F.log_softmax(torch.from_numpy(logits), dim=2).permute(1, 0, 2)
+        tgt = torch.tensor([1, 5, 2, 7, 7, 3, 9])
+        want = torch.nn.CTCLoss(blank=blank)(
+            logp, tgt, torch.tensor([T, T]), torch.tensor([3, 4]))
+        np.testing.assert_allclose(got, float(want), rtol=1e-4)
+
+    def test_smooth_l1_matches_torch(self, rng):
+        a = rng.standard_normal((4, 7)).astype(np.float32) * 3
+        b = rng.standard_normal((4, 7)).astype(np.float32) * 3
+        got = float(L.smooth_l1_loss(jnp.asarray(a), jnp.asarray(b)))
+        want = torch.nn.SmoothL1Loss()(torch.from_numpy(a),
+                                       torch.from_numpy(b))
+        np.testing.assert_allclose(got, float(want), rtol=1e-5)
+
+    def test_text_ce_matches_torch(self, rng):
+        B, T, C = 2, 5, 10
+        logits = rng.standard_normal((B, T, C)).astype(np.float32)
+        labels = rng.integers(0, C, (B, T))
+        got = float(L.text_ce_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                   num_classes=C))
+        w = torch.ones(C)
+        w[-1] = 0.1
+        want = F.cross_entropy(torch.from_numpy(logits).transpose(1, 2),
+                               torch.from_numpy(labels).long(), w)
+        np.testing.assert_allclose(got, float(want), rtol=1e-5)
+
+    def test_hinge_losses(self, rng):
+        f = rng.standard_normal((3, 5)).astype(np.float32)
+        r = rng.standard_normal((3, 5)).astype(np.float32)
+        np.testing.assert_allclose(
+            float(L.hinge_g_loss(jnp.asarray(f))), -f.mean(), rtol=1e-6)
+        want = np.maximum(1 - r, 0).mean() + np.maximum(1 + f, 0).mean()
+        np.testing.assert_allclose(
+            float(L.hinge_d_loss(jnp.asarray(r), jnp.asarray(f))), want,
+            rtol=1e-6)
+
+    def test_box_iou_loss_range(self, rng):
+        pred = np.array([[0.5, 0.05, 0.2, 0.04]], np.float32)
+        gt = np.array([[0.5, 0.05, 0.8, 0.04]], np.float32)
+        valid = np.array([[1.0, 1.0]], np.float32)
+        loss = float(L.box_iou_loss(jnp.asarray(pred), jnp.asarray(gt),
+                                    jnp.asarray(valid)))
+        # first box perfect (IoU 1), second disjoint (IoU 0) -> mean 0.5
+        np.testing.assert_allclose(loss, 0.5, atol=1e-5)
+
+    def test_lr_to_center_width(self):
+        lr = jnp.asarray([[0.1, 0.3, 0.5, 0.9]])
+        cw = np.asarray(L.lr_to_center_width(lr))
+        np.testing.assert_allclose(cw, [[0.2, 0.1, 0.7, 0.2]], atol=1e-6)
+
+
+class TestDiscriminator:
+    def test_shapes(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 128, 128, 3),
+                                            dtype=np.float32))
+        m = UNetDiscriminatorSN()
+        variables = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(variables, x)
+        assert out.shape == (2, 128, 128, 1)
+        # 6-channel variant
+        x6 = jnp.concatenate([x, x], -1)
+        m6 = UNetDiscriminatorSN()
+        v6 = m6.init(jax.random.PRNGKey(1), x6)
+        assert m6.apply(v6, x6).shape == (2, 128, 128, 1)
+
+
+class TestCropChars:
+    def test_interior_crop_is_exact(self, rng):
+        img = jnp.asarray(rng.standard_normal((1, 8, 2048, 3),
+                                              dtype=np.float32))
+        from marconet_tpu.data.batch_prep import _crop_taps
+
+        idx, w0 = _crop_taps(500)
+        out = crop_chars(img, jnp.asarray(idx)[None, None],
+                         jnp.asarray(w0)[None, None])
+        np.testing.assert_allclose(np.asarray(out[0, 0]),
+                                   np.asarray(img[0, :, 436:564]), atol=1e-6)
+
+    def test_edge_crop_matches_torch_resize(self, rng):
+        img = rng.standard_normal((1, 8, 2048, 3)).astype(np.float32)
+        from marconet_tpu.data.batch_prep import _crop_taps
+
+        center = 30  # x1=0, x2=94 -> resize 94 -> 128
+        idx, w0 = _crop_taps(center)
+        out = crop_chars(jnp.asarray(img), jnp.asarray(idx)[None, None],
+                         jnp.asarray(w0)[None, None])
+        crop = torch.from_numpy(img[:, :, 0:94]).permute(0, 3, 1, 2)
+        want = F.interpolate(crop, (8, 128), mode="bilinear")
+        want = want.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(out[0, 0]), want[0],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def tiny_batch(rng, b=2):
+    gt = rng.uniform(-1, 1, (b, 128, 2048, 3)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (b, 128, 2048, 3)) > 0.7).astype(np.float32)
+    lq = rng.uniform(-1, 1, (b, 32, 512, 3)).astype(np.float32)
+    labels = np.full((b, 16), BLANK_INDEX, np.int64)
+    box = np.zeros((b, 32), np.float32)
+    for i in range(b):
+        n = 3
+        labels[i, :n] = rng.integers(0, 6735, n)
+        lefts = np.sort(rng.uniform(0.0, 0.8, n))
+        for c in range(n):
+            box[i, 2 * c] = lefts[c]
+            box[i, 2 * c + 1] = lefts[c] + 0.05
+    return prepare_train_batch(gt, mask, labels, box, lq)
+
+
+class TestBatchPrep:
+    def test_masks_and_shapes(self, rng):
+        d = tiny_batch(rng)
+        assert d["char_valid"].sum() == 6
+        assert d["gt_chars"].shape == (2, 16, 128, 128, 3)
+        assert d["patch_valid"].sum() > 0
+        # glyph canvases of valid slots contain ink (+1) pixels
+        assert d["gt_chars"][0, 0].max() == 1.0
+        # invalid slots stay at -1
+        assert d["gt_chars"][0, 5].max() == -1.0
+
+
+# The full-step tests compile the entire 5-net GAN graph — minutes of
+# XLA:CPU compile time — so they are opt-in (RUN_SLOW=1); the driver's
+# dryrun_multichip exercises the same step on every round.
+@pytest.mark.slow
+@pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
+                    reason="set RUN_SLOW=1 to run full train-step tests")
+class TestTrainStep:
+    def test_one_step_updates_and_is_finite(self, rng):
+        trainer = MARCONetTrainer(TrainConfig())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        old_leaves = {
+            name: np.asarray(
+                jax.tree.leaves(getattr(state, name)["params"])[0])
+            for name in ("encoder", "prior", "srnet", "net_d", "net_srd")}
+        batch = TrainBatch(**{k: jnp.asarray(v)
+                              for k, v in tiny_batch(rng).items()})
+        step = jax.jit(trainer.train_step, donate_argnums=0)
+        new_state, metrics = step(state, batch)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+        assert int(new_state.step) == 1
+        # every net changed
+        for name, old in old_leaves.items():
+            new = jax.tree.leaves(getattr(new_state, name)["params"])[0]
+            assert not np.allclose(old, np.asarray(new))
+
+    def test_step_on_8_device_mesh(self, rng):
+        from marconet_tpu.parallel import make_mesh, shard_batch
+        from marconet_tpu.parallel.mesh import replicate_tree
+
+        mesh = make_mesh(8)
+        trainer = MARCONetTrainer(TrainConfig())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state = replicate_tree(mesh, state)
+        batch = TrainBatch(**{k: jnp.asarray(v)
+                              for k, v in tiny_batch(rng, b=8).items()})
+        batch = TrainBatch(*shard_batch(mesh, tuple(batch)))
+        step = jax.jit(trainer.train_step, donate_argnums=0)
+        _, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["l_g_total"]))
