@@ -46,17 +46,25 @@ def main():
         mask[i, :n] = 1.0
     labels, locs, mask = map(jnp.asarray, (labels, locs, mask))
 
-    def run():
-        return net.restore(params, lq, labels, locs, mask).sr
+    def run(x):
+        return net.restore(params, x, labels, locs, mask).sr
 
-    # warmup + compile
-    out = run()
-    jax.block_until_ready(out)
+    # Chain iterations through a zero-valued feedback term so every step
+    # depends on the previous one, and end with a host transfer: under
+    # remote-execution backends block_until_ready alone does not
+    # guarantee the device work has finished.
+    def chained(x, n):
+        for _ in range(n):
+            out = run(x)
+            x = x + (out.mean() * 0).astype(x.dtype)
+        return out
+
+    out = chained(lq, 1)  # warmup + compile
+    float(out.mean())
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    jax.block_until_ready(out)
+    out = chained(lq, iters)
+    float(out.mean())  # host transfer == hard sync
     dt = time.perf_counter() - t0
 
     crops_per_sec = batch * iters / dt

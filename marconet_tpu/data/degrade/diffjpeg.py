@@ -142,7 +142,43 @@ def diff_jpeg(x, quality, differentiable: bool = False):
     return out[:, :h, :w, :]
 
 
+def _channel_pass_np(ch, table, factor):
+    h, w = ch.shape
+    d = _DCT
+    x = ch.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ux,nmxy,vy->nmuv", d, x, d)
+    q = table * factor
+    coef = np.round(coef / q) * q
+    rec = np.einsum("ux,nmuv,vy->nmxy", d, coef, d) + 128.0
+    return rec.transpose(0, 2, 1, 3).reshape(h, w)
+
+
 def jpeg_np(img: np.ndarray, quality: float) -> np.ndarray:
-    """Single-image numpy convenience wrapper (data workers)."""
-    out = diff_jpeg(img[None], quality)
-    return np.asarray(out[0])
+    """Single-image pure-numpy JPEG round trip (data workers).
+
+    Same math as ``diff_jpeg`` but with no tracing/compilation: image
+    shapes vary per sample in the degradation pipelines, so a jitted
+    version would recompile constantly and data workers must never touch
+    the device runtime anyway.
+    """
+    h, w = img.shape[:2]
+    hp, wp = (16 - h % 16) % 16, (16 - w % 16) % 16
+    x = np.pad(img.astype(np.float32), ((0, hp), (0, wp), (0, 0)))
+    q = float(quality)
+    factor = ((5000.0 / q) if q < 50.0 else (200.0 - 2.0 * q)) / 100.0
+
+    ycc = (x * 255.0) @ _RGB2YCC + _YCC_SHIFT
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    hh, ww = y.shape
+
+    def down(c):
+        return c.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+
+    def up(c):
+        return np.repeat(np.repeat(c, 2, axis=0), 2, axis=1)
+
+    y = _channel_pass_np(y, _Y_TABLE, factor)
+    cb = up(_channel_pass_np(down(cb), _C_TABLE, factor))
+    cr = up(_channel_pass_np(down(cr), _C_TABLE, factor))
+    out = (np.stack([y, cb, cr], -1) - _YCC_SHIFT) @ _YCC2RGB / 255.0
+    return np.clip(out, 0.0, 1.0)[:h, :w].astype(np.float32)
