@@ -46,24 +46,22 @@ def main():
         mask[i, :n] = 1.0
     labels, locs, mask = map(jnp.asarray, (labels, locs, mask))
 
-    def run(x):
-        return net.restore(params, x, labels, locs, mask).sr
+    # Each call feeds a zero-valued function of the previous output back
+    # into the input, so successive steps are data-dependent, and the
+    # final host transfer is a hard sync — under remote-execution
+    # backends block_until_ready alone does not guarantee completion.
+    @jax.jit
+    def step(x):
+        out = net.restore(params, x, labels, locs, mask).sr
+        return x + (out.mean() * 0).astype(x.dtype), out
 
-    # Chain iterations through a zero-valued feedback term so every step
-    # depends on the previous one, and end with a host transfer: under
-    # remote-execution backends block_until_ready alone does not
-    # guarantee the device work has finished.
-    def chained(x, n):
-        for _ in range(n):
-            out = run(x)
-            x = x + (out.mean() * 0).astype(x.dtype)
-        return out
-
-    out = chained(lq, 1)  # warmup + compile
+    x, out = step(lq)  # warmup + compile
     float(out.mean())
 
     t0 = time.perf_counter()
-    out = chained(lq, iters)
+    x = lq
+    for _ in range(iters):
+        x, out = step(x)
     float(out.mean())  # host transfer == hard sync
     dt = time.perf_counter() - t0
 

@@ -303,6 +303,24 @@ def convert_srnet(state: StateDict) -> Dict[str, Any]:
     return {"params": params, "spectral": spectral}
 
 
+def convert_discriminator(state: StateDict) -> Dict[str, Any]:
+    """``net_d.pth`` / ``net_srd.pth`` (basicsr ``UNetDiscriminatorSN``)
+    -> discriminator variables. conv0/conv9 are plain convs; conv1..conv8
+    are spectral-normalized and bias-free."""
+    params: Dict[str, Any] = {}
+    spectral: Dict[str, Any] = {}
+    for name in ("conv0", "conv9"):
+        params[name] = {"kernel": _t_conv(_np(state, f"{name}.weight")),
+                        "bias": _np(state, f"{name}.bias")}
+    for i in range(1, 9):
+        name = f"conv{i}"
+        params[name] = {
+            "kernel": _t_conv(_np(state, f"{name}.weight_orig"))}
+        spectral[name] = {"u": _np(state, f"{name}.weight_u"),
+                          "v": _np(state, f"{name}.weight_v")}
+    return {"params": params, "spectral": spectral}
+
+
 # ---------------------------------------------------------------------------
 # checkpoint IO
 # ---------------------------------------------------------------------------

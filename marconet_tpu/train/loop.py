@@ -1,0 +1,191 @@
+"""Training loop: data workers, device feed, logging, checkpointing.
+
+TPU-native counterpart of basicsr's ``train_pipeline`` (reference
+``Train/tspgan/train.py:1-11``): multiprocessing batch synthesis on the
+host, a jit-compiled data-parallel train step over the device mesh,
+TensorBoard scalars + periodic image grids, Orbax checkpoint/resume, and
+an opt-in ``jax.profiler`` trace window — the observability the reference
+lacks (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import queue
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+from marconet_tpu.train.config import FullConfig, LoopConfig
+
+
+# ---------------------------------------------------------------------------
+# host-side batch workers
+# ---------------------------------------------------------------------------
+
+
+def _worker(cfg: LoopConfig, batch_size: int, seed: int, q):
+    from marconet_tpu.data.synth import SynthConfig, TextLineSynthesizer
+
+    synth = TextLineSynthesizer(SynthConfig(
+        font_dir=cfg.font_dir, bg_dir=cfg.bg_dir,
+        corpus_paths=cfg.corpus_paths))
+    rng = np.random.default_rng(seed)
+    while True:
+        q.put(synth.batch(batch_size, rng))
+
+
+class BatchLoader:
+    """Process-pool batch producer with a bounded prefetch queue."""
+
+    def __init__(self, cfg: LoopConfig, global_batch: int,
+                 num_workers: Optional[int] = None, prefetch: int = 8):
+        self.cfg = cfg
+        self.global_batch = global_batch
+        self.num_workers = num_workers or max(cfg.num_workers, 1)
+        ctx = mp.get_context("spawn")
+        self.q = ctx.Queue(maxsize=prefetch)
+        self.procs = [
+            ctx.Process(target=_worker,
+                        args=(cfg, global_batch, cfg.seed + 1000 + i,
+                              self.q),
+                        daemon=True)
+            for i in range(self.num_workers)
+        ]
+        for p in self.procs:
+            p.start()
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield self.q.get()
+
+    def close(self):
+        for p in self.procs:
+            p.terminate()
+
+
+# ---------------------------------------------------------------------------
+# training driver
+# ---------------------------------------------------------------------------
+
+
+def warm_start(trainer, state, pretrain_dir: str):
+    """Load the released torch checkpoints into a fresh TrainState
+    (reference ``train.yml:65-73`` warm-start paths)."""
+    import jax.numpy as jnp
+    import jax
+
+    from marconet_tpu.convert.torch_import import (
+        convert_discriminator, convert_encoder, convert_prior,
+        convert_srnet, load_torch_state_dict)
+
+    def load(fname, converter, param_key="params"):
+        path = os.path.join(pretrain_dir, fname)
+        if not os.path.exists(path):
+            print(f"warm start: {fname} not found, keeping random init")
+            return None
+        print(f"warm start: loading {fname}")
+        return jax.tree.map(jnp.asarray,
+                            converter(load_torch_state_dict(
+                                path, param_key)))
+
+    updates = {
+        "encoder": load("net_transformer_encoder.pth", convert_encoder,
+                        "params_ema"),
+        "prior": load("net_prior_generation.pth", convert_prior,
+                      "params_ema"),
+        "srnet": load("net_sr.pth", convert_srnet, "params_ema"),
+        "net_d": load("net_d.pth", convert_discriminator),
+        "net_srd": load("net_srd.pth", convert_discriminator),
+    }
+    for name, vars_ in updates.items():
+        if vars_ is None:
+            continue
+        merged = dict(getattr(state, name))
+        merged.update(vars_)
+        state = state._replace(**{name: merged})
+    return state
+
+
+def train(config: FullConfig, max_steps: Optional[int] = None):
+    import jax
+    import jax.numpy as jnp
+
+    from marconet_tpu.parallel import make_mesh, shard_batch
+    from marconet_tpu.parallel.mesh import replicate_tree
+    from marconet_tpu.train import checkpoint as ckpt
+    from marconet_tpu.train.train_step import (MARCONetTrainer, TrainBatch,
+                                               TrainConfig)
+
+    loop = config.loop
+    run_dir = os.path.join(loop.experiments_root, loop.name)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    os.makedirs(run_dir, exist_ok=True)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    global_batch = loop.batch_size * n_dev
+    print(f"mesh: {n_dev} device(s); global batch {global_batch}")
+
+    trainer = MARCONetTrainer(config.train)
+    state = trainer.init_state(jax.random.PRNGKey(loop.seed))
+
+    start_step = 0
+    if loop.resume_state:
+        state = ckpt.restore_state(loop.resume_state, state)
+        start_step = int(state.step)
+        print(f"resumed from {loop.resume_state} at step {start_step}")
+    elif loop.pretrain_dir:
+        state = warm_start(trainer, state, loop.pretrain_dir)
+    state = replicate_tree(mesh, state)
+
+    writer = None
+    if loop.use_tb_logger:
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(run_dir, "tb"))
+        except Exception as e:
+            print(f"tensorboard unavailable: {e}")
+
+    step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+    loader = BatchLoader(loop, global_batch)
+
+    profile_dir = os.environ.get("MARCONET_PROFILE")
+    total = min(loop.total_iter, max_steps or loop.total_iter)
+    t0 = time.time()
+    try:
+        for step, raw in enumerate(loader, start=start_step):
+            if step >= total:
+                break
+            if profile_dir and step == start_step + 10:
+                jax.profiler.start_trace(profile_dir)
+            batch = TrainBatch(**{k: jnp.asarray(v)
+                                  for k, v in raw.items()})
+            batch = TrainBatch(*shard_batch(mesh, tuple(batch)))
+            state, metrics = step_fn(state, batch)
+            if profile_dir and step == start_step + 15:
+                jax.profiler.stop_trace()
+
+            if (step + 1) % loop.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = loop.print_freq * global_batch / (time.time() - t0)
+                t0 = time.time()
+                print(f"iter {step + 1} | {rate:.1f} samples/s | " +
+                      " ".join(f"{k}={v:.4f}" for k, v in
+                               sorted(m.items())))
+                if writer:
+                    for k, v in m.items():
+                        writer.add_scalar(f"losses/{k}", v, step + 1)
+                    writer.add_scalar("speed/samples_per_sec", rate,
+                                      step + 1)
+            if (step + 1) % loop.save_freq == 0:
+                ckpt.save_state(ckpt_dir, step + 1, state)
+                print(f"saved checkpoint at iter {step + 1}")
+    finally:
+        loader.close()
+        if writer:
+            writer.close()
+    return state
