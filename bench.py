@@ -22,6 +22,10 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+
+    from marconet_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     from marconet_tpu.alphabet import BLANK_INDEX
     from marconet_tpu.models.pipeline import MARCONet
 
