@@ -55,17 +55,17 @@ def main():
     # final host transfer is a hard sync — under remote-execution
     # backends block_until_ready alone does not guarantee completion.
     @jax.jit
-    def step(x):
-        out = net.restore(params, x, labels, locs, mask).sr
+    def step(p, x):
+        out = net.restore(p, x, labels, locs, mask).sr
         return x + (out.mean() * 0).astype(x.dtype), out
 
-    x, out = step(lq)  # warmup + compile
+    x, out = step(params, lq)  # warmup + compile
     float(out.mean())
 
     t0 = time.perf_counter()
     x = lq
     for _ in range(iters):
-        x, out = step(x)
+        x, out = step(params, x)
     float(out.mean())  # host transfer == hard sync
     dt = time.perf_counter() - t0
 
