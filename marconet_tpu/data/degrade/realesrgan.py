@@ -23,8 +23,8 @@ import cv2
 import numpy as np
 
 from marconet_tpu.data.degrade import kernels as K
-from marconet_tpu.data.degrade.diffjpeg import jpeg_np
 from marconet_tpu.data.degrade.noise import gaussian_noise, poisson_noise
+from marconet_tpu.data.native import jpeg_roundtrip as jpeg_np
 
 _KERNEL_LIST = ["iso", "aniso", "generalized_iso", "generalized_aniso",
                 "plateau_iso", "plateau_aniso"]
