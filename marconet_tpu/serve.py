@@ -1,0 +1,160 @@
+"""Service-mode batched restoration.
+
+The reference processes one text line per python iteration
+(``test_sr.py:77``) and tells users to crop long lines themselves
+(``test_sr.py:104-110``). For production serving and multi-region pages
+(SURVEY.md §5.7), this module batches arbitrary collections of line crops
+into a few fixed batch-size buckets — one compiled XLA program per bucket
+— and splits over-wide lines into <=512 px segments automatically, so a
+whole page is a handful of device launches regardless of layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from marconet_tpu.alphabet import BLANK_INDEX, labels_from_text
+from marconet_tpu.models.encoder import MAX_CHARS
+from marconet_tpu.utils.image import (LQ_HEIGHT, LQ_WIDTH,
+                                      normalized_locs_from_boxes,
+                                      preprocess_line)
+
+DEFAULT_BUCKETS = (1, 4, 16, 64)
+
+
+@dataclass
+class LineRequest:
+    """One text-line crop with (optionally) known text and boxes."""
+
+    image: np.ndarray                     # (H, W, 3) RGB uint8
+    text: Optional[str] = None            # known characters (manual mode)
+    boxes: Optional[Sequence[Sequence[float]]] = None  # xyxy, image coords
+
+
+@dataclass
+class LineResult:
+    sr: np.ndarray                        # (128, W*4, 3) float [0,255]
+    text: str
+    priors: np.ndarray                    # (n, 128, 128, 3)
+
+
+def split_wide_line(img: np.ndarray, max_w: int = LQ_WIDTH
+                    ) -> List[Tuple[np.ndarray, int]]:
+    """Split a line whose h=32-normalized width exceeds 512 px into
+    segments; returns [(crop, x_offset_px)]."""
+    h, w = img.shape[:2]
+    w32 = int(w * LQ_HEIGHT / h)
+    if w32 <= max_w:
+        return [(img, 0)]
+    n_seg = int(np.ceil(w32 / max_w))
+    seg_w = int(np.ceil(w / n_seg))
+    return [(img[:, i * seg_w:(i + 1) * seg_w], i * seg_w)
+            for i in range(n_seg)]
+
+
+class TextPageRestorer:
+    """Bucketed batch restoration over the jitted pipeline."""
+
+    def __init__(self, net, params, frontend=None,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS):
+        self.net = net
+        self.params = params
+        self.frontend = frontend
+        self.buckets = tuple(sorted(buckets))
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _prepare(self, req: LineRequest):
+        pre = preprocess_line(req.image)
+        if pre is None:
+            raise ValueError("line wider than 512 after h=32 resize; "
+                             "use restore_page for auto-splitting")
+        lq, show, ori_w = pre
+
+        if req.text is not None:
+            labels_list = [l for l in labels_from_text(req.text)
+                           if l >= 0][:MAX_CHARS]
+            locs_vec = None
+            if req.boxes is not None:
+                locs_vec = normalized_locs_from_boxes(
+                    req.boxes, req.image.shape[0])
+        elif self.frontend is not None:
+            det = self.frontend(req.image)
+            labels_list = [l for l in labels_from_text(det.text)
+                           if l >= 0][:MAX_CHARS]
+            locs_vec = det.locs
+        else:
+            raise ValueError("request has no text and no front-end is "
+                             "configured")
+        n = len(labels_list)
+        labels = np.full(MAX_CHARS, BLANK_INDEX, np.int32)
+        labels[:n] = labels_list
+        locs = np.zeros(2 * MAX_CHARS, np.float32)
+        if locs_vec is not None:
+            locs[:min(len(locs_vec), 2 * MAX_CHARS)] = \
+                locs_vec[:2 * MAX_CHARS]
+        mask = np.zeros(MAX_CHARS, np.float32)
+        mask[:n] = 1.0
+        return lq[0], labels, locs, mask, show, n
+
+    def restore_lines(self, requests: Sequence[LineRequest]
+                      ) -> List[LineResult]:
+        """Restore a batch of lines with at most
+        ``len(buckets)`` compiled programs."""
+        import jax.numpy as jnp
+
+        prepared = [self._prepare(r) for r in requests]
+        n = len(prepared)
+        b = self._bucket(n)
+        results: List[LineResult] = []
+        for chunk_start in range(0, n, b):
+            chunk = prepared[chunk_start:chunk_start + b]
+            pad = b - len(chunk)
+            lq = np.stack([c[0] for c in chunk] +
+                          [np.zeros_like(chunk[0][0])] * pad)
+            labels = np.stack([c[1] for c in chunk] +
+                              [np.full(MAX_CHARS, BLANK_INDEX,
+                                       np.int32)] * pad)
+            locs = np.stack([c[2] for c in chunk] +
+                            [np.zeros(2 * MAX_CHARS, np.float32)] * pad)
+            mask = np.stack([c[3] for c in chunk] +
+                            [np.zeros(MAX_CHARS, np.float32)] * pad)
+            out = self.net.restore(self.params, jnp.asarray(lq),
+                                   jnp.asarray(labels), jnp.asarray(locs),
+                                   jnp.asarray(mask))
+            sr = np.asarray(out.sr, np.float32)
+            priors = np.asarray(out.priors, np.float32)
+            from marconet_tpu.alphabet import text_from_labels
+
+            for i, (c, req) in enumerate(zip(chunk, requests[
+                    chunk_start:chunk_start + b])):
+                show, n_chars = c[4], c[5]
+                img = np.clip(sr[i] * 0.5 + 0.5, 0, 1) * 255.0
+                results.append(LineResult(
+                    sr=img[:, :show.shape[1]],
+                    text=req.text if req.text is not None else
+                    text_from_labels([l for l in c[1][:n_chars]]),
+                    priors=priors[i, :n_chars]))
+        return results
+
+    def restore_page(self, page_rgb: np.ndarray,
+                     line_boxes: Sequence[Sequence[int]],
+                     texts: Optional[Sequence[str]] = None
+                     ) -> List[LineResult]:
+        """Restore all text regions of a page: crop each line box, split
+        over-wide lines, and run the bucketed batch path."""
+        requests: List[LineRequest] = []
+        for i, (x1, y1, x2, y2) in enumerate(line_boxes):
+            crop = page_rgb[y1:y2, x1:x2]
+            for seg, _ in split_wide_line(crop):
+                requests.append(LineRequest(
+                    image=seg,
+                    text=None if texts is None else texts[i]))
+        return self.restore_lines(requests)
