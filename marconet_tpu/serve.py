@@ -107,7 +107,9 @@ class TextPageRestorer:
     def restore_lines(self, requests: Sequence[LineRequest]
                       ) -> List[LineResult]:
         """Restore a batch of lines with at most
-        ``len(buckets)`` compiled programs."""
+        ``len(buckets)`` compiled programs. Character-slot count is also
+        bucketed (4/8/16): a masked 16-slot run is bit-identical to a
+        narrower run, so short lines skip the wasted prior/SFT compute."""
         import jax.numpy as jnp
 
         prepared = [self._prepare(r) for r in requests]
@@ -117,15 +119,18 @@ class TextPageRestorer:
         for chunk_start in range(0, n, b):
             chunk = prepared[chunk_start:chunk_start + b]
             pad = b - len(chunk)
+            max_chars = max(c[5] for c in chunk)
+            n_slots = next(s for s in (4, 8, MAX_CHARS)
+                           if s >= max_chars)
             lq = np.stack([c[0] for c in chunk] +
                           [np.zeros_like(chunk[0][0])] * pad)
-            labels = np.stack([c[1] for c in chunk] +
-                              [np.full(MAX_CHARS, BLANK_INDEX,
+            labels = np.stack([c[1][:n_slots] for c in chunk] +
+                              [np.full(n_slots, BLANK_INDEX,
                                        np.int32)] * pad)
-            locs = np.stack([c[2] for c in chunk] +
-                            [np.zeros(2 * MAX_CHARS, np.float32)] * pad)
-            mask = np.stack([c[3] for c in chunk] +
-                            [np.zeros(MAX_CHARS, np.float32)] * pad)
+            locs = np.stack([c[2][:2 * n_slots] for c in chunk] +
+                            [np.zeros(2 * n_slots, np.float32)] * pad)
+            mask = np.stack([c[3][:n_slots] for c in chunk] +
+                            [np.zeros(n_slots, np.float32)] * pad)
             out = self.net.restore(self.params, jnp.asarray(lq),
                                    jnp.asarray(labels), jnp.asarray(locs),
                                    jnp.asarray(mask))
