@@ -175,22 +175,33 @@ class SFTFusion(nn.Module):
                         dtype=self.dtype, name="shift")(fuse, mask=m)
         out_win = (lq_f * scale + shift).reshape(b, n, h, win, c)
 
-        # sequential masked write-back: later slots overwrite earlier ones
-        write_mask = colmask * char_mask[:, :, None, None, None].astype(
-            canvas.dtype)
-        res0 = jnp.zeros_like(padded)
+        # Write-back with the reference's last-writer-wins overlap
+        # semantics (chars are written in slot order; later slots
+        # overwrite earlier ones, ``networks.py:448,481``). Rather than 16
+        # sequential full-canvas dynamic updates (O(N * canvas) HBM
+        # traffic), compute per output column which slot wins — the
+        # highest valid slot covering it — and gather its window column.
+        xcols = jnp.arange(width)[None, None, :]                  # (1,1,W)
+        covers = ((xcols >= x1[:, :, None]) &
+                  (xcols < (x1 + L)[:, :, None]) &
+                  (char_mask[:, :, None] > 0))                    # (B,N,W)
+        slot_rank = jnp.where(covers, jnp.arange(n)[None, :, None], -1)
+        winner = slot_rank.max(axis=1)                            # (B,W)
+        covered = winner >= 0
+        wsafe = jnp.maximum(winner, 0)
+        col_in_win = jnp.clip(
+            jnp.arange(width)[None, :] -
+            jnp.take_along_axis(x1, wsafe, axis=1), 0, win - 1)   # (B,W)
 
-        def write_one(res, slot):
-            def per_sample(r, w_, m_, s):
-                cur = jax.lax.dynamic_slice_in_dim(r, s, win, axis=1)
-                new = jnp.where(m_ > 0, w_, cur)
-                return jax.lax.dynamic_update_slice_in_dim(r, new, s, axis=1)
-
-            return jax.vmap(per_sample)(res, out_win[:, slot],
-                                        write_mask[:, slot], x1[:, slot])
-
-        res = jax.lax.fori_loop(0, n, lambda i, r: write_one(r, i), res0)
-        return canvas + res[:, :, :width, :]
+        # out_win (B,N,H,win,C) -> flat (B, N*win, H, C); index per column
+        flat = out_win.transpose(0, 1, 3, 2, 4).reshape(
+            b, n * win, h, c)
+        idx = (wsafe * win + col_in_win)[:, :, None, None]        # (B,W,1,1)
+        res = jnp.take_along_axis(
+            flat, jnp.broadcast_to(idx, (b, width, h, c)), axis=1)
+        res = res.transpose(0, 2, 1, 3)                           # (B,H,W,C)
+        res = jnp.where(covered[:, None, :, None], res, 0.0)
+        return canvas + res
 
 
 class StructurePriorSRNet(nn.Module):

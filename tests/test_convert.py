@@ -70,6 +70,7 @@ def test_prior_conversion_end_to_end(rng):
 @pytest.mark.parametrize("centers", [
     [0.1, 0.35, 0.62, 0.9],        # interior chars
     [0.01, 0.5, 0.99],             # truncated edge windows
+    [0.3, 0.317, 0.335, 0.36],     # heavily overlapping windows
 ])
 def test_srnet_conversion_end_to_end(rng, centers):
     sd = oracle.build_srnet_state(rng)
