@@ -187,21 +187,22 @@ class SFTFusion(nn.Module):
                   (char_mask[:, :, None] > 0))                    # (B,N,W)
         slot_rank = jnp.where(covers, jnp.arange(n)[None, :, None], -1)
         winner = slot_rank.max(axis=1)                            # (B,W)
-        covered = winner >= 0
-        wsafe = jnp.maximum(winner, 0)
-        col_in_win = jnp.clip(
-            jnp.arange(width)[None, :] -
-            jnp.take_along_axis(x1, wsafe, axis=1), 0, win - 1)   # (B,W)
-
-        # out_win (B,N,H,win,C) -> flat (B, N*win, H, C); index per column
-        flat = out_win.transpose(0, 1, 3, 2, 4).reshape(
-            b, n * win, h, c)
-        idx = (wsafe * win + col_in_win)[:, :, None, None]        # (B,W,1,1)
-        res = jnp.take_along_axis(
-            flat, jnp.broadcast_to(idx, (b, width, h, c)), axis=1)
-        res = res.transpose(0, 2, 1, 3)                           # (B,H,W,C)
-        res = jnp.where(covered[:, None, :, None], res, 0.0)
-        return canvas + res
+        # One-hot selection matrix (B, W, N*win): column x selects window
+        # column (x - x1) of its winning slot. Expressed as a matmul so
+        # the selection runs on the MXU (a general gather would not
+        # vectorize on TPU).
+        sel_slot = (winner[:, :, None] ==
+                    jnp.arange(n)[None, None, :])                 # (B,W,N)
+        rel = (jnp.arange(width)[None, :, None] -
+               x1[:, None, :])                                    # (B,W,N)
+        sel_col = (rel[..., None] ==
+                   jnp.arange(win)[None, None, None, :])          # (B,W,N,win)
+        sel = (sel_slot[..., None] & sel_col).astype(canvas.dtype)
+        flat = out_win.transpose(0, 1, 3, 2, 4).reshape(b, n * win, h * c)
+        res = jnp.einsum("bwk,bkf->bwf", sel.reshape(b, width, n * win),
+                         flat, preferred_element_type=jnp.float32)
+        res = res.astype(canvas.dtype).reshape(b, width, h, c)
+        return canvas + res.transpose(0, 2, 1, 3)
 
 
 class StructurePriorSRNet(nn.Module):
