@@ -327,12 +327,18 @@ def convert_discriminator(state: StateDict) -> Dict[str, Any]:
 
 
 def load_torch_state_dict(path: str, param_key: str = "params") -> StateDict:
-    """Load a reference ``.pth`` checkpoint into numpy arrays."""
+    """Load a reference ``.pth`` checkpoint into numpy arrays.
+
+    Tries ``param_key`` first, then the reference's other container keys
+    (inference releases use ``params``, training warm-starts
+    ``params_ema`` — ``test_sr.py:43-51``, ``train.yml:69``)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    if param_key in ckpt:
-        ckpt = ckpt[param_key]
+    for key in (param_key, "params", "params_ema", "state_dict"):
+        if key in ckpt:
+            ckpt = ckpt[key]
+            break
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in ckpt.items()}
 
