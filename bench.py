@@ -38,6 +38,10 @@ def main():
 
     net = MARCONet(dtype=jnp.bfloat16)
     params = net.init(jax.random.PRNGKey(0))
+    # cast once: otherwise every step converts 88M f32 params to bf16
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
     rng = np.random.default_rng(0)
     lq = jnp.asarray(rng.uniform(-1, 1, (batch, 32, 512, 3))

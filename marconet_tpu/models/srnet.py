@@ -199,9 +199,11 @@ class SFTFusion(nn.Module):
                    jnp.arange(win)[None, None, None, :])          # (B,W,N,win)
         sel = (sel_slot[..., None] & sel_col).astype(canvas.dtype)
         flat = out_win.transpose(0, 1, 3, 2, 4).reshape(b, n * win, h * c)
+        # each output column selects exactly one window column, so
+        # low-precision accumulation is exact here
         res = jnp.einsum("bwk,bkf->bwf", sel.reshape(b, width, n * win),
-                         flat, preferred_element_type=jnp.float32)
-        res = res.astype(canvas.dtype).reshape(b, width, h, c)
+                         flat, preferred_element_type=canvas.dtype)
+        res = res.reshape(b, width, h, c)
         return canvas + res.transpose(0, 2, 1, 3)
 
 
