@@ -89,10 +89,20 @@ def _pallas_elementwise(kernel, x2d, bias, grid_rows_tile):
 
 
 def _use_pallas() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    """Default OFF: measured on v5e, the standalone kernel is a fusion
+    barrier — XLA fuses the jnp formulation into the producing matmul/conv
+    epilogue for free, while a custom call forces an extra HBM round trip.
+    The kernel remains available (MARCONET_FUSED_ACT_PALLAS=1) for
+    standalone elementwise use and as the epilogue-fusion pattern.
+    """
+    import os
+
+    if os.environ.get("MARCONET_FUSED_ACT_PALLAS") == "1":
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            return False
+    return False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -85,11 +85,11 @@ def main():
     p_srn = cast(srn.init(jax.random.PRNGKey(2), lq, p64, p32, locs))
 
     @jax.jit
-    def srn_step(p, x):
-        out = srn.apply(p, x, p64, p32, locs, mask)
+    def srn_step(p, x, f64, f32):
+        out = srn.apply(p, x, f64, f32, locs, mask)
         return x + (out.mean() * 0).astype(x.dtype), out
 
-    t_srn = chain_time(srn_step, (p_srn, lq))
+    t_srn = chain_time(srn_step, (p_srn, lq, p64, p32))
     print(f"srnet:     {t_srn * 1e3:8.2f} ms/batch "
           f"({B / t_srn:7.1f} crops/s)")
 
