@@ -122,17 +122,20 @@ def group_norm(x, gamma, beta, num_groups: int, eps: float = 1e-6,
     g = num_groups
     xg = x.reshape(b, h, w, g, c // g)
     f32 = xg.astype(jnp.float32)
+    # single-pass moments (one read of the activations instead of two
+    # dependent reduction passes; f32 accumulation)
     if mask is None:
         mean = f32.mean(axis=(1, 2, 4), keepdims=True)
-        var = jnp.square(f32 - mean).mean(axis=(1, 2, 4), keepdims=True)
+        ex2 = jnp.square(f32).mean(axis=(1, 2, 4), keepdims=True)
+        var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
     else:
         # mask is broadcastable to (B, H, W, 1); add a group-channel axis
         mb = jnp.broadcast_to(mask.astype(jnp.float32)[..., None], xg.shape)
-        cnt = mb.sum(axis=(1, 2, 4), keepdims=True)
-        cnt = jnp.maximum(cnt, 1.0)
-        mean = (f32 * mb).sum(axis=(1, 2, 4), keepdims=True) / cnt
-        var = (jnp.square(f32 - mean) * mb).sum(axis=(1, 2, 4),
-                                                keepdims=True) / cnt
+        cnt = jnp.maximum(mb.sum(axis=(1, 2, 4), keepdims=True), 1.0)
+        fm = f32 * mb
+        mean = fm.sum(axis=(1, 2, 4), keepdims=True) / cnt
+        ex2 = (f32 * fm).sum(axis=(1, 2, 4), keepdims=True) / cnt
+        var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
     y = (f32 - mean) * jax.lax.rsqrt(var + eps)
     y = y.reshape(b, h, w, c).astype(x.dtype)
     y = y * gamma.astype(x.dtype) + beta.astype(x.dtype)
@@ -321,18 +324,20 @@ def masked_mean_std(x, mask=None, eps: float = 1e-5):
     statistics to valid positions.
     """
     f32 = x.astype(jnp.float32)
+    # single-pass moments; unbiased variance (N-1) as in the reference
     if mask is None:
-        n = x.shape[1] * x.shape[2]
+        n = jnp.asarray(float(x.shape[1] * x.shape[2]), jnp.float32)
         mean = f32.mean(axis=(1, 2), keepdims=True)
-        sq = jnp.square(f32 - mean).sum(axis=(1, 2), keepdims=True)
+        ex2 = jnp.square(f32).mean(axis=(1, 2), keepdims=True)
     else:
         m = jnp.broadcast_to(mask.astype(jnp.float32),
                              f32.shape[:3] + (1,))
-        n = m.sum(axis=(1, 2), keepdims=True) * 1.0
-        mean = (f32 * m).sum(axis=(1, 2), keepdims=True) / jnp.maximum(n, 1.0)
-        sq = (jnp.square(f32 - mean) * m).sum(axis=(1, 2), keepdims=True)
-    denom = jnp.maximum(n - 1.0, 1.0)
-    var = sq / denom
+        n = jnp.maximum(m.sum(axis=(1, 2), keepdims=True), 1.0)
+        fm = f32 * m
+        mean = fm.sum(axis=(1, 2), keepdims=True) / n
+        ex2 = (f32 * fm).sum(axis=(1, 2), keepdims=True) / n
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0) * \
+        (n / jnp.maximum(n - 1.0, 1.0))
     std = jnp.sqrt(var + eps)
     return mean.astype(x.dtype), std.astype(x.dtype)
 
