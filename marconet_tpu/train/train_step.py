@@ -348,14 +348,18 @@ class MARCONetTrainer:
         cmask3 = batch.char_valid[:, :, None]
 
         def d_loss(d_params, spectral):
-            out, upd = UNetDiscriminatorSN(
-                dtype=self.dtype, update_stats=True).apply(
+            # two forwards (fake then real), as in the reference's D step;
+            # also avoids concatenating along the sharded batch axis,
+            # which would force an all-to-all resharding
+            dnet = UNetDiscriminatorSN(dtype=self.dtype, update_stats=True)
+            fake, upd = dnet.apply(
                 {"params": d_params, "spectral": spectral},
-                jnp.concatenate([
-                    aux["gt_chars_rgb"].reshape(b * n, 128, 128, 3),
-                    aux["sr_chars"].reshape(b * n, 128, 128, 3)], 0),
+                aux["sr_chars"].reshape(b * n, 128, 128, 3),
                 mutable=["spectral"])
-            real, fake = jnp.split(out, 2, axis=0)
+            real, upd = dnet.apply(
+                {"params": d_params, "spectral": upd["spectral"]},
+                aux["gt_chars_rgb"].reshape(b * n, 128, 128, 3),
+                mutable=["spectral"])
             loss = L.hinge_d_loss(real.reshape(b, n, -1),
                                   fake.reshape(b, n, -1),
                                   real_mask=cmask3, fake_mask=cmask3)
@@ -375,13 +379,15 @@ class MARCONetTrainer:
         fake_in = jnp.concatenate([aux["sr_chars"], aux["prior128"]], -1)
 
         def srd_loss(srd_params, spectral):
-            out, upd = UNetDiscriminatorSN(
-                dtype=self.dtype, update_stats=True).apply(
+            dnet = UNetDiscriminatorSN(dtype=self.dtype, update_stats=True)
+            fake, upd = dnet.apply(
                 {"params": srd_params, "spectral": spectral},
-                jnp.concatenate([real_in.reshape(b * n, 128, 128, 6),
-                                 fake_in.reshape(b * n, 128, 128, 6)], 0),
+                fake_in.reshape(b * n, 128, 128, 6),
                 mutable=["spectral"])
-            real, fake = jnp.split(out, 2, axis=0)
+            real, upd = dnet.apply(
+                {"params": srd_params, "spectral": upd["spectral"]},
+                real_in.reshape(b * n, 128, 128, 6),
+                mutable=["spectral"])
             loss = L.hinge_d_loss(real.reshape(b, n, -1),
                                   fake.reshape(b, n, -1),
                                   real_mask=cmask3, fake_mask=cmask3)
