@@ -13,6 +13,14 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    # TPU only: CPU AOT cache entries on this setup can be produced with
+    # machine-feature flags that do not match the executing host (observed
+    # silent SIGILL-style process death when loading them back).
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
+        return
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                   os.path.expanduser("~/.cache/jax_comp"))
     os.makedirs(path, exist_ok=True)
