@@ -121,7 +121,6 @@ class StructurePriorGenerator(nn.Module):
 
         feat64 = feat32 = rgb64 = rgb32 = None
         res = 4
-        idx = 0
         while res < self.out_size:
             res *= 2
             ch = _CHANNELS[res]
@@ -133,5 +132,4 @@ class StructurePriorGenerator(nn.Module):
                 feat32, rgb32 = x, skip
             if res == 64:
                 feat64, rgb64 = x, skip
-            idx += 2
         return PriorOutput(skip, feat64, feat32, rgb64, rgb32)

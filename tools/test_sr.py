@@ -129,10 +129,8 @@ def main():
         locs = np.zeros((1, 2 * MAX_CHARS), np.float32)
         if locs_vec is not None:
             locs[0, :len(locs_vec)] = locs_vec[:2 * MAX_CHARS]
-        else:
-            # evenly spread boxes over the content region; refined below by
-            # the encoder's own locs head
-            pass
+        # without a front-end, locs are refined below from the encoder's
+        # own locs head
 
         out = net.restore(params, jnp.asarray(lq), jnp.asarray(labels),
                           jnp.asarray(locs), jnp.asarray(mask))
