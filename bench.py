@@ -32,8 +32,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     # slot bucketing: the pipeline is shape-polymorphic over character
-    # slots and a masked 16-slot run is bit-identical to an 8-slot run
-    # (tests/test_models.py); the canonical workload is 8-char lines.
+    # slots and a masked 16-slot run is equivalent to an 8-slot run up to
+    # float-level reassociation noise (tests/test_models.py slot-bucketing
+    # tests); the canonical workload is 8-char lines.
     slots = int(os.environ.get("BENCH_SLOTS", "8"))
 
     net = MARCONet(dtype=jnp.bfloat16)

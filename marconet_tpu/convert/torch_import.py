@@ -69,6 +69,42 @@ def _np(state: StateDict, key: str) -> Array:
     return np.asarray(v, dtype=np.float32)
 
 
+class _StrictState(dict):
+    """State-dict view that records reads, so converters can assert FULL
+    key consumption — a renamed or extra torch key is an error, never a
+    silent drop (matches the reference's strict loading,
+    ``test_sr.py:43-51``)."""
+
+    def __init__(self, state: StateDict):
+        super().__init__(state)
+        self.consumed: set = set()
+
+    def __getitem__(self, key):
+        v = super().__getitem__(key)
+        self.consumed.add(key)
+        return v
+
+    def __contains__(self, key):
+        # membership tests are structural probes, not consumption
+        return super().__contains__(key)
+
+    def assert_all_consumed(self, what: str, ignore: tuple = ()):
+        import re
+
+        pats = [re.compile(p) for p in ignore]
+        left = [k for k in self
+                if k not in self.consumed
+                and not any(p.search(k) for p in pats)]
+        if left:
+            raise KeyError(
+                f"{what}: {len(left)} state-dict keys were not mapped "
+                f"(renamed/extra layers?): {sorted(left)[:10]}")
+
+
+def _strict(state: StateDict) -> "_StrictState":
+    return state if isinstance(state, _StrictState) else _StrictState(state)
+
+
 # ---------------------------------------------------------------------------
 # shared sub-layer converters
 # ---------------------------------------------------------------------------
@@ -130,6 +166,7 @@ def _encoder_block(state: StateDict, attn_prefix: str,
 
 def convert_encoder(state: StateDict) -> Dict[str, Any]:
     """``net_transformer_encoder.pth['params']`` -> encoder variables."""
+    state = _strict(state)
     p: Dict[str, Any] = {}
 
     # resnet45 backbone
@@ -180,6 +217,7 @@ def convert_encoder(state: StateDict) -> Dict[str, Any]:
         "head_w_proj": _dense(state, "transformer.linear_w.1"),
     }
     p["vit"] = vit
+    state.assert_all_consumed("convert_encoder")
     return {"params": p}
 
 
@@ -206,6 +244,7 @@ def _to_rgb(state: StateDict, prefix: str) -> Dict[str, Any]:
 
 def convert_prior(state: StateDict) -> Dict[str, Any]:
     """``net_prior_generation.pth['params']`` -> generator variables."""
+    state = _strict(state)
     g = "TextGenerator"
     p: Dict[str, Any] = {
         "style_mlp": {
@@ -224,6 +263,10 @@ def convert_prior(state: StateDict) -> Dict[str, Any]:
         p[f"conv_{res}_up"] = _styled_conv(state, f"{g}.convs.{2 * i}")
         p[f"conv_{res}"] = _styled_conv(state, f"{g}.convs.{2 * i + 1}")
         p[f"to_rgb_{res}"] = _to_rgb(state, f"{g}.to_rgbs.{i}")
+    # noise buffers would be dead weight (the reference never injects
+    # noise, networks.py:144-151) — but none are registered upstream, so
+    # stay strict with no ignore patterns
+    state.assert_all_consumed("convert_prior")
     return {"params": p}
 
 
@@ -246,6 +289,7 @@ def _res_text_block(state: StateDict, prefix: str):
 
 def convert_srnet(state: StateDict) -> Dict[str, Any]:
     """``net_sr.pth['params']`` -> SR-net variables."""
+    state = _strict(state)
     params: Dict[str, Any] = {}
     spectral: Dict[str, Any] = {}
 
@@ -300,6 +344,7 @@ def convert_srnet(state: StateDict) -> Dict[str, Any]:
     resblock("final_res", "conv_final.5")
     sn("final_out", "conv_final.6")
 
+    state.assert_all_consumed("convert_srnet")
     return {"params": params, "spectral": spectral}
 
 
@@ -307,6 +352,7 @@ def convert_discriminator(state: StateDict) -> Dict[str, Any]:
     """``net_d.pth`` / ``net_srd.pth`` (basicsr ``UNetDiscriminatorSN``)
     -> discriminator variables. conv0/conv9 are plain convs; conv1..conv8
     are spectral-normalized and bias-free."""
+    state = _strict(state)
     params: Dict[str, Any] = {}
     spectral: Dict[str, Any] = {}
     for name in ("conv0", "conv9"):
@@ -318,6 +364,7 @@ def convert_discriminator(state: StateDict) -> Dict[str, Any]:
             "kernel": _t_conv(_np(state, f"{name}.weight_orig"))}
         spectral[name] = {"u": _np(state, f"{name}.weight_u"),
                           "v": _np(state, f"{name}.weight_v")}
+    state.assert_all_consumed("convert_discriminator")
     return {"params": params, "spectral": spectral}
 
 

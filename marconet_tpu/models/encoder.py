@@ -28,6 +28,17 @@ MAX_CHARS = 16
 NUM_TOKENS = 64
 
 
+def scaled_width(value: int, width: float, floor: int = 8,
+                 multiple: int = 1) -> int:
+    """Channel count scaled by a width multiplier (width=1.0 is exact).
+
+    Used to build structurally-identical reduced models for the multi-chip
+    CPU dryrun and fast CI tiers — same code path, fewer channels.
+    """
+    v = int(round(value * width / multiple)) * multiple
+    return max(floor, v)
+
+
 # ---------------------------------------------------------------------------
 # ResNet-45 backbone (height-only downsampling: 32 -> 8, width kept at 512)
 # ---------------------------------------------------------------------------
@@ -71,7 +82,8 @@ class ResNet45(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(32, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+        x = Conv(self.stage_features[0], kernel_size=(3, 3),
+                 padding=((1, 1), (1, 1)),
                  use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = jax.nn.relu(x)
         for si, (blocks, feats, stride) in enumerate(zip(
@@ -152,11 +164,13 @@ class EncoderBlock(nn.Module):
     """Pre-norm attention + MLP with residuals."""
 
     mlp_dim: int
+    dim_head: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = Attention(dtype=self.dtype, name="attn")(x) + x
+        x = Attention(dim_head=self.dim_head, dtype=self.dtype,
+                      name="attn")(x) + x
         x = Mlp(self.mlp_dim, dtype=self.dtype, name="ff")(x) + x
         return x
 
@@ -186,6 +200,7 @@ class TextViTHead(nn.Module):
     num_classes: int = 6736
     dim: int = 512
     mlp_dim: int = 1024
+    dim_head: int = 64
     max_length: int = MAX_CHARS
     dtype: Dtype = jnp.float32
 
@@ -202,17 +217,17 @@ class TextViTHead(nn.Module):
         x = x + posemb_sincos_2d(h // p, w // p, self.dim).astype(x.dtype)
 
         for i in range(2):
-            x = EncoderBlock(self.mlp_dim, dtype=self.dtype,
-                             name=f"shared_{i}")(x)
+            x = EncoderBlock(self.mlp_dim, dim_head=self.dim_head,
+                             dtype=self.dtype, name=f"shared_{i}")(x)
 
-        x_cls = EncoderBlock(self.mlp_dim, dtype=self.dtype,
-                             name="branch_cls")(x)
+        x_cls = EncoderBlock(self.mlp_dim, dim_head=self.dim_head,
+                             dtype=self.dtype, name="branch_cls")(x)
         x16 = SeqProject(self.max_length, dtype=self.dtype,
                          name="seq_to_maxlen")(x)
-        x_loc = EncoderBlock(self.mlp_dim // 2, dtype=self.dtype,
-                             name="branch_locs")(x16)
-        x_w = EncoderBlock(self.mlp_dim // 2, dtype=self.dtype,
-                           name="branch_w")(x)
+        x_loc = EncoderBlock(self.mlp_dim // 2, dim_head=self.dim_head,
+                             dtype=self.dtype, name="branch_locs")(x16)
+        x_w = EncoderBlock(self.mlp_dim // 2, dim_head=self.dim_head,
+                           dtype=self.dtype, name="branch_w")(x)
 
         # classification head: per-token logits
         logits = nn.Dense(self.num_classes, dtype=self.dtype,
@@ -235,14 +250,32 @@ class TextViTHead(nn.Module):
 
 
 class TextContextEncoder(nn.Module):
-    """ResNet-45 + TextViT; the reference's ``TextContextEncoderV2``."""
+    """ResNet-45 + TextViT; the reference's ``TextContextEncoderV2``.
+
+    ``width`` scales every channel dimension (1.0 = the exact reference
+    architecture); reduced widths share the identical code path and are
+    used by the multi-chip CPU dryrun and the fast CI tier.
+    """
 
     num_classes: int = 6736
+    width: float = 1.0
     dtype: Dtype = jnp.float32
+
+    @property
+    def w_dim(self) -> int:
+        """Dimension of the font-style vector ``w`` (512 at width 1)."""
+        return scaled_width(512, self.width, floor=32, multiple=4)
 
     @nn.compact
     def __call__(self, lq):
         """lq: (B, 32, 512, 3) NHWC in [-1, 1]."""
-        feat = ResNet45(dtype=self.dtype, name="resnet")(lq)
-        return TextViTHead(num_classes=self.num_classes, dtype=self.dtype,
-                           name="vit")(feat)
+        s = self.width
+        feats = tuple(scaled_width(f, s)
+                      for f in (32, 64, 128, 256, 512))
+        dim = self.w_dim
+        feat = ResNet45(stage_features=feats, dtype=self.dtype,
+                        name="resnet")(lq)
+        return TextViTHead(num_classes=self.num_classes, dim=dim,
+                           mlp_dim=2 * dim,
+                           dim_head=scaled_width(64, s),
+                           dtype=self.dtype, name="vit")(feat)

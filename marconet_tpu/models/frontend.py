@@ -89,24 +89,46 @@ def mask_segment(img: np.ndarray, boxes: Sequence[Sequence[int]],
     return (seg * alpha + mean_img * (1 - alpha)).astype(np.uint8), idxs[0]
 
 
+# filenames searched for the exported ModelScope recognizer
+# (tools/export_ocr_sd.py writes the first pair)
+_OCR_SD_FILES = ("ocr_convnext_sd.pth", "ocr_recognition_sd.pth",
+                 "pytorch_model.pt")
+_OCR_VOCAB_FILES = ("ocr_vocab.txt", "vocab.txt")
+
+
 class CharacterFrontend:
-    """YOLO11 detector + ConvNeXt recognizer, checkpoint-driven."""
+    """YOLO11 detector + ConvNextViT recognizer, checkpoint-driven.
+
+    ``ocr_variables``/``ocr_config``/``ocr_charset`` come from
+    ``convert.ocr_import.load_ocr_checkpoint`` + ``load_vocab``; without
+    them recognition returns '' per box and callers fall back to the
+    encoder's own CTC head (reference ``test_w.py:34-40`` path).
+    """
 
     def __init__(self, yolo_variables, ocr_variables=None,
+                 ocr_config=None, ocr_charset: Optional[str] = None,
                  conf: float = 0.07, iou: float = 0.1,
                  imgsz: int = 640, max_det: int = 100):
         import jax
-        import jax.numpy as jnp
 
-        from marconet_tpu.models.convnext_ocr import ConvNeXtOCR
+        from marconet_tpu.models.convnext_ocr import ConvNextViT, OCRConfig
         from marconet_tpu.models.yolo import YOLO11, nms_static
 
         self.conf, self.iou, self.imgsz = conf, iou, imgsz
         self.max_det = max_det
         self._yolo = YOLO11(nc=1)
-        self._ocr = ConvNeXtOCR() if ocr_variables is not None else None
         self._yolo_vars = yolo_variables
+        self._ocr = None
         self._ocr_vars = ocr_variables
+        if ocr_variables is not None:
+            cfg = ocr_config or OCRConfig()
+            self._ocr = ConvNextViT(config=cfg)
+            self._ocr_cfg = cfg
+            self._ocr_charset = ocr_charset
+            # first charset entry's class id (low ids = blank/specials)
+            self._ocr_offset = max(
+                0, cfg.num_classes - len(ocr_charset)) \
+                if ocr_charset else 0
 
         @jax.jit
         def detect(img01):
@@ -118,21 +140,26 @@ class CharacterFrontend:
         self._detect = detect
         if self._ocr is not None:
             @jax.jit
-            def recognize(img01):
-                return self._ocr.apply(self._ocr_vars, img01)
+            def recognize(img):
+                return self._ocr.apply(self._ocr_vars, img)
 
             self._recognize = recognize
 
     @classmethod
     def from_checkpoints(cls, ckpt_dir: str, **kw) -> "CharacterFrontend":
         from marconet_tpu.convert.yolo_import import load_yolo_checkpoint
+        from marconet_tpu.convert.ocr_import import (load_ocr_checkpoint,
+                                                     load_vocab)
 
-        yolo_path = None
-        for name in ("yolo11m_character_sd.pth", "yolo11m_character.pt"):
-            cand = os.path.join(ckpt_dir, name)
-            if os.path.exists(cand):
-                yolo_path = cand
-                break
+        def find(names):
+            for name in names:
+                cand = os.path.join(ckpt_dir, name)
+                if os.path.exists(cand):
+                    return cand
+            return None
+
+        yolo_path = find(("yolo11m_character_sd.pth",
+                          "yolo11m_character.pt"))
         if yolo_path is None:
             raise FileNotFoundError(
                 f"no YOLO checkpoint under {ckpt_dir}")
@@ -141,8 +168,24 @@ class CharacterFrontend:
 
         yolo_vars = jax.tree.map(jnp.asarray,
                                  load_yolo_checkpoint(yolo_path))
-        ocr_vars = None  # ModelScope recognizer weights are optional
-        return cls(yolo_vars, ocr_vars, **kw)
+
+        ocr_vars = ocr_cfg = charset = None
+        ocr_path, vocab_path = find(_OCR_SD_FILES), find(_OCR_VOCAB_FILES)
+        if ocr_path is not None:
+            ocr_vars, ocr_cfg = load_ocr_checkpoint(ocr_path)
+            ocr_vars = jax.tree.map(jnp.asarray, ocr_vars)
+            charset = load_vocab(vocab_path) if vocab_path else None
+            print(f"frontend: loaded OCR recognizer "
+                  f"{os.path.basename(ocr_path)} "
+                  f"({ocr_cfg.num_classes} classes, "
+                  f"vocab={'yes' if charset else 'MISSING'})")
+        else:
+            print(f"frontend: no OCR recognizer weights under {ckpt_dir} "
+                  f"(expected one of {_OCR_SD_FILES}; export with "
+                  "tools/export_ocr_sd.py) — falling back to the "
+                  "encoder's CTC head for recognition")
+        return cls(yolo_vars, ocr_vars, ocr_config=ocr_cfg,
+                   ocr_charset=charset, **kw)
 
     # -- detection ---------------------------------------------------------
 
@@ -162,25 +205,31 @@ class CharacterFrontend:
         boxes = boxes.astype(int)
         return boxes[np.argsort(boxes[:, 0])]
 
-    def recognize_segment(self, segment_bgr_or_rgb: np.ndarray) -> str:
+    def recognize_segment(self, segment_rgb: np.ndarray) -> str:
         import cv2
         import jax.numpy as jnp
 
+        from marconet_tpu.alphabet import ALPHABET
         from marconet_tpu.models.convnext_ocr import decode_ctc
 
         if self._ocr is None:
             return ""
-        seg = segment_bgr_or_rgb
+        seg = segment_rgb
         h = seg.shape[0]
         w = max(int(seg.shape[1] * 32 / h), 8)
         seg = cv2.resize(seg, (w, 32), interpolation=cv2.INTER_LINEAR)
-        # pad width to a multiple of 32 for the trunk
-        pad = (-seg.shape[1]) % 32
+        # pad width to a bucket (multiple of 64) to bound recompiles
+        pad = (-seg.shape[1]) % 64
         if pad:
             seg = np.pad(seg, ((0, 0), (0, pad), (0, 0)), mode="edge")
-        logits = self._recognize(
-            jnp.asarray(seg[None].astype(np.float32) / 255.0))
-        return decode_ctc(logits)[0].replace(" ", "")
+        x = seg[None].astype(np.float32) / 255.0
+        x = (x - 0.5) / 0.5
+        logits = self._recognize(jnp.asarray(x))
+        charset = self._ocr_charset or ALPHABET
+        text = decode_ctc(logits, charset=charset,
+                          blank=self._ocr_cfg.blank_index,
+                          offset=self._ocr_offset)[0]
+        return text.replace(" ", "")
 
     # -- full pipeline -----------------------------------------------------
 

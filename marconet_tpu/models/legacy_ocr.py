@@ -158,15 +158,24 @@ class OCRDecoderBlock(nn.Module):
 
 class LegacyTransformerOCR(nn.Module):
     """Autoregressive text recognizer (vocab 6738: alphabet + blank +
-    start/end token)."""
+    start/end token).
+
+    ``use_loc_head=True`` adds the per-token box head of the
+    ``net_new_bbox.pth`` variant (reference ``ocr.py:318-320``:
+    ``Generator(1024, 1, norm=True)`` = relu(linear)); the logits-only
+    layout matches ``net_real_world_ocr.pth``. Checkpoints load via
+    ``marconet_tpu.convert.ocr_import.convert_legacy_ocr``.
+    """
 
     vocab: int = 6738
+    use_loc_head: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image, text_input):
         """image: (B, H, W, 3) NHWC; text_input: (B, T) int tokens.
-        Returns per-position vocab logits (B, T, vocab)."""
+        Returns per-position vocab logits (B, T, vocab) — plus per-token
+        locs (B, T, 1) when ``use_loc_head``."""
         memory = OCREncoder(dtype=self.dtype, name="encoder")(image)
         b, h, w, c = memory.shape
         memory = memory.reshape(b, h * w, c)
@@ -178,7 +187,13 @@ class LegacyTransformerOCR(nn.Module):
         x = jnp.concatenate(
             [emb, jnp.broadcast_to(pe, emb.shape)], axis=-1)  # d=1024
         x = OCRDecoderBlock(dtype=self.dtype, name="decoder")(x, memory)
-        return nn.Dense(self.vocab, dtype=self.dtype, name="generator")(x)
+        logits = nn.Dense(self.vocab, dtype=self.dtype,
+                          name="generator")(x)
+        if self.use_loc_head:
+            locs = jax.nn.relu(
+                nn.Dense(1, dtype=self.dtype, name="loc_head")(x))
+            return logits, locs
+        return logits
 
     def greedy_decode(self, variables, image, max_len: int = 32,
                       start_token: int = 0):
@@ -187,7 +202,8 @@ class LegacyTransformerOCR(nn.Module):
         tokens = jnp.full((b, max_len + 1), start_token, jnp.int32)
 
         def body(i, toks):
-            logits = self.apply(variables, image, toks[:, :-1])
+            out = self.apply(variables, image, toks[:, :-1])
+            logits = out[0] if isinstance(out, tuple) else out
             nxt = jnp.argmax(logits[:, i], axis=-1).astype(jnp.int32)
             return toks.at[:, i + 1].set(nxt)
 

@@ -51,24 +51,32 @@ class MARCONet:
         out = net.restore(params, lq, labels, locs, char_mask)
     """
 
-    def __init__(self, dtype=jnp.float32, num_classes: int = 6736):
+    def __init__(self, dtype=jnp.float32, num_classes: int = 6736,
+                 width: float = 1.0):
+        """``width`` scales every channel plan (1.0 = the exact reference
+        architecture; reduced widths share the identical code path and
+        serve fast CI tiers)."""
         self.dtype = dtype
         self.encoder = TextContextEncoder(num_classes=num_classes,
-                                          dtype=dtype)
+                                          width=width, dtype=dtype)
         self.prior = StructurePriorGenerator(num_classes=num_classes,
-                                             dtype=dtype)
-        self.srnet = StructurePriorSRNet(dtype=dtype)
+                                             style_dim=self.encoder.w_dim,
+                                             width=width, dtype=dtype)
+        self.srnet = StructurePriorSRNet(dim=self.prior.channels[64],
+                                         dtype=dtype)
 
     # -- initialization ----------------------------------------------------
 
     def init(self, key) -> MARCONetParams:
         k1, k2, k3 = jax.random.split(key, 3)
+        ch = self.prior.channels
         lq = jnp.zeros((1, 32, 512, 3), self.dtype)
         enc = self.encoder.init(k1, lq)
-        pri = self.prior.init(k2, jnp.zeros((1, 512), self.dtype),
-                              jnp.zeros((1,), jnp.int32))
-        p64 = jnp.zeros((1, MAX_CHARS, 64, 64, 256), self.dtype)
-        p32 = jnp.zeros((1, MAX_CHARS, 32, 32, 512), self.dtype)
+        pri = self.prior.init(
+            k2, jnp.zeros((1, self.encoder.w_dim), self.dtype),
+            jnp.zeros((1,), jnp.int32))
+        p64 = jnp.zeros((1, MAX_CHARS, 64, 64, ch[64]), self.dtype)
+        p32 = jnp.zeros((1, MAX_CHARS, 32, 32, ch[32]), self.dtype)
         locs = jnp.zeros((1, 2 * MAX_CHARS), self.dtype)
         srn = self.srnet.init(k3, lq, p64, p32, locs)
         return MARCONetParams(enc, pri, srn)

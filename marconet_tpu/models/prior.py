@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from marconet_tpu.models.encoder import scaled_width
 from marconet_tpu.ops.layers import EqualLinear, PixelNorm
 from marconet_tpu.ops.modconv import StyledConv, ToRGB
 
@@ -96,7 +97,14 @@ class StructurePriorGenerator(nn.Module):
     style_dim: int = 512
     num_classes: int = 6736
     n_mlp: int = 8
+    width: float = 1.0
     dtype: Dtype = jnp.float32
+
+    @property
+    def channels(self):
+        """Per-resolution channel plan, scaled by ``width`` (1.0 = exact)."""
+        return {r: scaled_width(c, self.width, floor=16)
+                for r, c in _CHANNELS.items()}
 
     @nn.compact
     def __call__(self, styles, labels, input_is_latent: bool = False):
@@ -112,18 +120,19 @@ class StructurePriorGenerator(nn.Module):
                 styles)
         # All 12 latent slots share one w at inference (reference
         # ``networks.py:141``); keep a single vector.
-        x = CharCodebook(self.num_classes, _CHANNELS[4],
+        chans = self.channels
+        x = CharCodebook(self.num_classes, chans[4],
                          name="codebook")(labels)
         x = x.astype(self.dtype)
 
-        x = StyledConv(_CHANNELS[4], dtype=self.dtype, name="conv_4")(x, w)
+        x = StyledConv(chans[4], dtype=self.dtype, name="conv_4")(x, w)
         skip = ToRGB(upsample=False, dtype=self.dtype, name="to_rgb_4")(x, w)
 
         feat64 = feat32 = rgb64 = rgb32 = None
         res = 4
         while res < self.out_size:
             res *= 2
-            ch = _CHANNELS[res]
+            ch = chans[res]
             x = StyledConv(ch, upsample=True, dtype=self.dtype,
                            name=f"conv_{res}_up")(x, w)
             x = StyledConv(ch, dtype=self.dtype, name=f"conv_{res}")(x, w)

@@ -279,24 +279,35 @@ class YOLO11(nn.Module):
         feats = [x16, x19, x22]
         box_raw, cls_raw = DetectHead(self.nc, dtype=dt,
                                       name="detect")(feats)
+        return decode_dfl(box_raw, cls_raw, (8, 16, 32), self.nc)
 
-        # decode: DFL expectation + anchor offsets
-        boxes, scores = [], []
-        for stride, braw, craw in zip((8, 16, 32), box_raw, cls_raw):
-            b_, hh, ww, _ = braw.shape
-            dist = braw.reshape(b_, hh * ww, 4, REG_MAX)
-            dist = jax.nn.softmax(dist.astype(jnp.float32), axis=-1)
-            dist = (dist * jnp.arange(REG_MAX, dtype=jnp.float32)).sum(-1)
-            cy, cx = jnp.meshgrid(jnp.arange(hh) + 0.5,
-                                  jnp.arange(ww) + 0.5, indexing="ij")
-            anchors = jnp.stack([cx.reshape(-1), cy.reshape(-1)], -1)
-            lt, rb = dist[..., :2], dist[..., 2:]
-            x1y1 = (anchors[None] - lt) * stride
-            x2y2 = (anchors[None] + rb) * stride
-            boxes.append(jnp.concatenate([x1y1, x2y2], -1))
-            scores.append(jax.nn.sigmoid(
-                craw.reshape(b_, hh * ww, self.nc).astype(jnp.float32)))
-        return jnp.concatenate(boxes, 1), jnp.concatenate(scores, 1)
+
+def decode_dfl(box_raw: List[jax.Array], cls_raw: List[jax.Array],
+               strides: Sequence[int], nc: int):
+    """Ultralytics Detect decode: DFL expectation + dist2bbox.
+
+    Per level: (B, H, W, 4*REG_MAX) raw box logits -> softmax over the 16
+    bins -> expected distance -> xyxy around the (x+0.5, y+0.5) anchor
+    grid, scaled by the level stride; class logits -> sigmoid. Matches
+    ultralytics ``Detect._inference``/``DFL``/``dist2bbox``/
+    ``make_anchors`` conventions (grid_cell_offset 0.5).
+    """
+    boxes, scores = [], []
+    for stride, braw, craw in zip(strides, box_raw, cls_raw):
+        b_, hh, ww, _ = braw.shape
+        dist = braw.reshape(b_, hh * ww, 4, REG_MAX)
+        dist = jax.nn.softmax(dist.astype(jnp.float32), axis=-1)
+        dist = (dist * jnp.arange(REG_MAX, dtype=jnp.float32)).sum(-1)
+        cy, cx = jnp.meshgrid(jnp.arange(hh) + 0.5,
+                              jnp.arange(ww) + 0.5, indexing="ij")
+        anchors = jnp.stack([cx.reshape(-1), cy.reshape(-1)], -1)
+        lt, rb = dist[..., :2], dist[..., 2:]
+        x1y1 = (anchors[None] - lt) * stride
+        x2y2 = (anchors[None] + rb) * stride
+        boxes.append(jnp.concatenate([x1y1, x2y2], -1))
+        scores.append(jax.nn.sigmoid(
+            craw.reshape(b_, hh * ww, nc).astype(jnp.float32)))
+    return jnp.concatenate(boxes, 1), jnp.concatenate(scores, 1)
 
 
 def nms_static(boxes, scores, max_det: int = 100, iou_thresh: float = 0.1,

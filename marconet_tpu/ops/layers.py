@@ -129,10 +129,15 @@ def group_norm(x, gamma, beta, num_groups: int, eps: float = 1e-6,
         ex2 = jnp.square(f32).mean(axis=(1, 2, 4), keepdims=True)
         var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
     else:
-        # mask is broadcastable to (B, H, W, 1); add a group-channel axis
-        mb = jnp.broadcast_to(mask.astype(jnp.float32)[..., None], xg.shape)
-        cnt = jnp.maximum(mb.sum(axis=(1, 2, 4), keepdims=True), 1.0)
-        fm = f32 * mb
+        # mask broadcastable to (B, H|1, W, 1); never materialize the
+        # full-size broadcast — multiply lazily and count analytically
+        mf = mask.astype(jnp.float32)
+        m5 = mf[..., None]                       # (B, H|1, W, 1, 1)
+        cnt = mf.sum(axis=(1, 2, 3)).reshape(b, 1, 1, 1, 1)
+        if mask.shape[1] == 1:
+            cnt = cnt * h
+        cnt = jnp.maximum(cnt * (c // g), 1.0)
+        fm = f32 * m5
         mean = fm.sum(axis=(1, 2, 4), keepdims=True) / cnt
         ex2 = (f32 * fm).sum(axis=(1, 2, 4), keepdims=True) / cnt
         var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
@@ -153,11 +158,14 @@ class GroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         c = x.shape[-1]
-        assert c % self.channels_per_group == 0
+        # width-reduced configs (dryrun/CI) may have fewer channels than a
+        # full group; fall back to one group then (full-size models always
+        # satisfy c % 32 == 0, so their numerics are unchanged)
+        cpg = min(self.channels_per_group, c)
+        assert c % cpg == 0
         gamma = self.param("scale", nn.initializers.ones, (c,))
         beta = self.param("bias", nn.initializers.zeros, (c,))
-        return group_norm(x, gamma, beta, c // self.channels_per_group,
-                          self.eps, mask=mask)
+        return group_norm(x, gamma, beta, c // cpg, self.eps, mask=mask)
 
 
 # ---------------------------------------------------------------------------
@@ -330,9 +338,13 @@ def masked_mean_std(x, mask=None, eps: float = 1e-5):
         mean = f32.mean(axis=(1, 2), keepdims=True)
         ex2 = jnp.square(f32).mean(axis=(1, 2), keepdims=True)
     else:
-        m = jnp.broadcast_to(mask.astype(jnp.float32),
-                             f32.shape[:3] + (1,))
-        n = jnp.maximum(m.sum(axis=(1, 2), keepdims=True), 1.0)
+        # mask broadcastable to (B, H|1, W, 1); count analytically
+        # instead of reducing a materialized broadcast
+        m = mask.astype(jnp.float32)
+        n = m.sum(axis=(1, 2), keepdims=True)
+        if mask.shape[1] == 1:
+            n = n * x.shape[1]
+        n = jnp.maximum(n, 1.0)
         fm = f32 * m
         mean = fm.sum(axis=(1, 2), keepdims=True) / n
         ex2 = (f32 * fm).sum(axis=(1, 2), keepdims=True) / n

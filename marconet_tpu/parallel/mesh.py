@@ -18,18 +18,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axes: Sequence[str] = ("data",)) -> Mesh:
-    """1-D (or reshaped multi-axis) mesh over the available devices."""
+              axes: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh over the available devices.
+
+    1-D (the default ``('data',)`` axis) takes the first ``n_devices``
+    devices. Multi-axis meshes (e.g. ``('dcn', 'data')`` for multi-slice
+    scale-out) require an explicit ``shape`` whose product matches the
+    device count — there is no implicit split heuristic.
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     arr = np.asarray(devices)
     if len(axes) > 1:
-        # trailing axes absorb the devices; leading axes get size 1 unless
-        # the device count divides evenly (caller controls the split)
-        per = int(round(len(devices) ** (1.0 / len(axes))))
-        shape = [len(devices) // per, per] if len(axes) == 2 else None
+        if shape is None:
+            raise ValueError(
+                f"make_mesh with axes={tuple(axes)} needs an explicit "
+                f"shape (e.g. shape=(2, {len(devices) // 2}))")
+        if len(shape) != len(axes) or int(np.prod(shape)) != len(devices):
+            raise ValueError(
+                f"shape {tuple(shape)} does not factor {len(devices)} "
+                f"devices over axes {tuple(axes)}")
         arr = arr.reshape(shape)
+    elif shape is not None and tuple(shape) != arr.shape:
+        raise ValueError(f"shape {tuple(shape)} invalid for 1-D mesh of "
+                         f"{len(devices)} devices")
     return Mesh(arr, axes)
 
 

@@ -108,8 +108,10 @@ class TextPageRestorer:
                       ) -> List[LineResult]:
         """Restore a batch of lines with at most
         ``len(buckets)`` compiled programs. Character-slot count is also
-        bucketed (4/8/16): a masked 16-slot run is bit-identical to a
-        narrower run, so short lines skip the wasted prior/SFT compute."""
+        bucketed (4/8/16): masked extra slots are semantically inert
+        (equivalent to a narrower run up to float reassociation noise;
+        tests/test_models.py), so short lines skip the wasted prior/SFT
+        compute."""
         import jax.numpy as jnp
 
         prepared = [self._prepare(r) for r in requests]

@@ -35,6 +35,8 @@ class LoopConfig:
     corpus_paths: Tuple[str, ...] = ()
     # warm starts (released torch checkpoints)
     pretrain_dir: Optional[str] = None
+    # opt-in to training without pretrained LPIPS VGG weights
+    allow_random_lpips: bool = False
 
 
 @dataclass
@@ -81,6 +83,7 @@ def load_config(path: str) -> FullConfig:
         srgan_lambda=float(t.get("srgan_loss_lambda", 0.02)),
         lpips_lambda=float(t.get("lpips_loss_lambda", 1.0)),
         srpixel_weight=float(_get(t, "srpixel_opt.loss_weight", 10.0)),
+        width=float(t.get("model_width", 1.0)),
     )
 
     ds = _get(raw, "datasets.train", {}) or {}
@@ -101,5 +104,6 @@ def load_config(path: str) -> FullConfig:
         bg_dir=ds.get("path_bg", ""),
         corpus_paths=corpus,
         pretrain_dir=_get(raw, "path.pretrain_dir"),
+        allow_random_lpips=bool(t.get("allow_random_lpips", False)),
     )
     return FullConfig(train=train, loop=loop, raw=raw)

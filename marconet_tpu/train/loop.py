@@ -129,7 +129,26 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
     global_batch = loop.batch_size * n_dev
     print(f"mesh: {n_dev} device(s); global batch {global_batch}")
 
-    trainer = MARCONetTrainer(config.train)
+    # perceptual loss: pretrained VGG16+lin weights, or fail loudly — a
+    # random-VGG LPIPS is a silently different objective (reference uses
+    # pretrained lpips, Train/tspgan/losses/text_loss.py:77-105)
+    from marconet_tpu.train.lpips import load_lpips_variables
+
+    lpips_vars = load_lpips_variables(loop.pretrain_dir)
+    if lpips_vars is None:
+        msg = ("LPIPS weights (vgg16-397923af.pth + lpips_vgg.pth) not "
+               f"found under pretrain_dir={loop.pretrain_dir!r}")
+        if not loop.allow_random_lpips:
+            raise SystemExit(
+                msg + " — refusing to train with a random-VGG perceptual "
+                "loss. Provide the weights or set "
+                "train.allow_random_lpips / --allow_random_lpips.")
+        print(f"WARNING: {msg}; TRAINING WITH RANDOM VGG WEIGHTS "
+              "(allow_random_lpips set)")
+    lpips_vars = jax.tree.map(jnp.asarray, lpips_vars) \
+        if lpips_vars is not None else None
+
+    trainer = MARCONetTrainer(config.train, lpips_variables=lpips_vars)
     state = trainer.init_state(jax.random.PRNGKey(loop.seed))
 
     start_step = 0
@@ -151,7 +170,30 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
             print(f"tensorboard unavailable: {e}")
 
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+    visual_fn = jax.jit(trainer.visual_forward)
     loader = BatchLoader(loop, global_batch)
+
+    def log_visuals(state, batch: TrainBatch, step: int):
+        """TB image grids every val_freq iters (reference
+        ``tspgan_model.py:615-621``)."""
+        from marconet_tpu.train.visuals import build_visual_grids
+
+        vis = {k: np.asarray(v) for k, v in
+               visual_fn(state, batch).items()}
+        font = None
+        if loop.font_dir and os.path.isdir(loop.font_dir):
+            cands = sorted(os.listdir(loop.font_dir))
+            if cands:
+                font = os.path.join(loop.font_dir, cands[0])
+        grids = build_visual_grids(
+            gt=np.asarray(batch.gt), lq=np.asarray(batch.lq),
+            sr=vis["sr"], prior128=vis["prior128"],
+            gt_chars=np.asarray(batch.gt_chars), pred_cw=vis["pred_cw"],
+            boxinfo_lr=np.asarray(batch.boxinfo_lr),
+            pred_ids=vis["pred_ids"], font_path=font)
+        for label, img in grids.items():
+            writer.add_image(f"val/{label}", img, step,
+                             dataformats="HWC")
 
     profile_dir = os.environ.get("MARCONET_PROFILE")
     total = min(loop.total_iter, max_steps or loop.total_iter)
@@ -181,6 +223,9 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
                         writer.add_scalar(f"losses/{k}", v, step + 1)
                     writer.add_scalar("speed/samples_per_sec", rate,
                                       step + 1)
+            if writer and loop.val_freq > 0 \
+                    and (step + 1) % loop.val_freq == 0:
+                log_visuals(state, batch, step + 1)
             if (step + 1) % loop.save_freq == 0:
                 ckpt.save_state(ckpt_dir, step + 1, state)
                 print(f"saved checkpoint at iter {step + 1}")

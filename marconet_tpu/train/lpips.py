@@ -14,7 +14,7 @@ fine for pipeline tests, not for training quality.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,14 +32,20 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 class VGG16Features(nn.Module):
-    """VGG16 feature trunk; returns the 5 tapped activations."""
+    """VGG16 feature trunk; returns the 5 tapped activations.
 
+    ``width`` scales the channel plan (1.0 = exact torchvision VGG16);
+    reduced widths serve the structurally-identical dryrun/CI tiers.
+    """
+
+    width: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> List[jax.Array]:
         taps = []
         for bi, (ch, n_convs) in enumerate(_VGG_BLOCKS):
+            ch = max(8, int(round(ch * self.width)))
             for ci in range(n_convs):
                 x = Conv(ch, dtype=self.dtype,
                          name=f"conv{bi + 1}_{ci + 1}")(x)
@@ -53,13 +59,14 @@ class VGG16Features(nn.Module):
 class LPIPS(nn.Module):
     """Perceptual distance; inputs NHWC in [-1, 1]."""
 
+    width: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pred, target):
         shift = jnp.asarray(_SHIFT, self.dtype)
         scale = jnp.asarray(_SCALE, self.dtype)
-        vgg = VGG16Features(dtype=self.dtype, name="vgg")
+        vgg = VGG16Features(width=self.width, dtype=self.dtype, name="vgg")
 
         def feats(x):
             return vgg((x - shift) / scale)
@@ -111,3 +118,46 @@ def convert_lpips_weights(vgg_state: Dict[str, np.ndarray],
         params[f"lin{i}"] = {
             "kernel": t_conv(get(lin_state, f"lin{i}.model.1.weight"))}
     return {"params": params}
+
+
+# candidate filenames searched by ``load_lpips_variables``
+_VGG_FILES = ("vgg16-397923af.pth", "vgg16.pth", "vgg16_features.pth")
+_LIN_FILES = ("lpips_vgg.pth", "lpips_vgg_v0.1.pth", "vgg_lpips.pth",
+              "vgg.pth")
+
+
+def load_lpips_variables(ckpt_dir: Optional[str]):
+    """Load + convert real LPIPS weights from a checkpoint directory.
+
+    Looks for a torchvision VGG16 state dict (``vgg16-397923af.pth``) and
+    the lpips v0.1 linear heads (``lpips_vgg.pth``, the lpips package's
+    ``weights/v0.1/vgg.pth``). Returns converted variables, or ``None``
+    when either file is absent — the trainer then runs with RANDOM VGG
+    weights, which is a materially different objective from the
+    reference's pretrained LPIPS (``Train/tspgan/losses/text_loss.py:
+    77-105``); callers must warn or fail loudly.
+    """
+    import os
+
+    if not ckpt_dir:
+        return None
+
+    def find(names):
+        for n in names:
+            p = os.path.join(ckpt_dir, n)
+            if os.path.exists(p):
+                return p
+        return None
+
+    vgg_path, lin_path = find(_VGG_FILES), find(_LIN_FILES)
+    if vgg_path is None or lin_path is None:
+        return None
+    import torch
+
+    vgg_sd = torch.load(vgg_path, map_location="cpu", weights_only=True)
+    lin_sd = torch.load(lin_path, map_location="cpu", weights_only=True)
+    to_np = {k: v.numpy() for k, v in vgg_sd.items()}
+    lin_np = {k: v.numpy() for k, v in lin_sd.items()}
+    print(f"LPIPS: loaded pretrained VGG16 ({os.path.basename(vgg_path)})"
+          f" + lin heads ({os.path.basename(lin_path)})")
+    return convert_lpips_weights(to_np, lin_np)

@@ -74,6 +74,9 @@ class TrainConfig(NamedTuple):
     srgan_lambda: float = 0.02
     lpips_lambda: float = 1.0
     srpixel_weight: float = 10.0
+    # architecture width multiplier (1.0 = exact reference channel plans;
+    # reduced widths share the identical code path — dryrun/CI tiers)
+    width: float = 1.0
 
 
 class TrainBatch(NamedTuple):
@@ -148,17 +151,29 @@ class MARCONetTrainer:
 
     def __init__(self, config: TrainConfig = TrainConfig(),
                  dtype=jnp.float32, num_classes: int = BLANK_INDEX + 1,
-                 lpips_variables: Optional[Dict[str, Any]] = None):
+                 lpips_variables: Optional[Dict[str, Any]] = None,
+                 width: Optional[float] = None):
+        """``width`` scales every net's channel plan (1.0 = the exact
+        reference architecture; defaults to ``config.width``). Reduced
+        widths run the identical code path with fewer channels — used by
+        the multi-chip CPU dryrun and the fast CI tier, where full-size
+        XLA:CPU compiles are infeasible.
+        """
         self.cfg = config
         self.dtype = dtype
+        width = config.width if width is None else width
+        self.width = width
         self.encoder = TextContextEncoder(num_classes=num_classes,
-                                          dtype=dtype)
+                                          width=width, dtype=dtype)
         self.prior = StructurePriorGenerator(num_classes=num_classes,
-                                             dtype=dtype)
-        self.srnet = StructurePriorSRNet(dtype=dtype, update_stats=True)
-        self.net_d = UNetDiscriminatorSN(dtype=dtype, update_stats=True)
-        self.net_srd = UNetDiscriminatorSN(dtype=dtype, update_stats=True)
-        self.lpips = LPIPS(dtype=dtype)
+                                             style_dim=self.encoder.w_dim,
+                                             width=width, dtype=dtype)
+        self.srnet = StructurePriorSRNet(dim=self.prior.channels[64],
+                                         dtype=dtype, update_stats=True)
+        self._disc_feat = max(8, int(round(64 * width)))
+        self.net_d = self._make_disc(update_stats=True)
+        self.net_srd = self._make_disc(update_stats=True)
+        self.lpips = LPIPS(width=width, dtype=dtype)
         self.lpips_variables = lpips_variables
 
         c = config
@@ -172,17 +187,25 @@ class MARCONetTrainer:
             "net_srd": _adam(c.lr_srd, d_ratio, c.milestones, c.lr_gamma),
         }
 
+    def _make_disc(self, update_stats: bool) -> UNetDiscriminatorSN:
+        return UNetDiscriminatorSN(num_feat=self._disc_feat,
+                                   dtype=self.dtype,
+                                   update_stats=update_stats)
+
     # -- init --------------------------------------------------------------
 
     def init_state(self, key, lpips_key=None) -> TrainState:
         k = jax.random.split(key, 6)
+        ch = self.prior.channels
         lq = jnp.zeros((1, 32, 512, 3), self.dtype)
         enc = self.encoder.init(k[0], lq)
-        pri = self.prior.init(k[1], jnp.zeros((1, 512), self.dtype),
-                              jnp.zeros((1,), jnp.int32))
+        pri = self.prior.init(
+            k[1], jnp.zeros((1, self.encoder.w_dim), self.dtype),
+            jnp.zeros((1,), jnp.int32))
         srn = self.srnet.init(
-            k[2], lq, jnp.zeros((1, MAX_CHARS, 64, 64, 256), self.dtype),
-            jnp.zeros((1, MAX_CHARS, 32, 32, 512), self.dtype),
+            k[2], lq,
+            jnp.zeros((1, MAX_CHARS, 64, 64, ch[64]), self.dtype),
+            jnp.zeros((1, MAX_CHARS, 32, 32, ch[32]), self.dtype),
             jnp.zeros((1, 2 * MAX_CHARS), self.dtype))
         char = jnp.zeros((1, 128, 128, 3), self.dtype)
         d = self.net_d.init(k[3], char)
@@ -198,6 +221,40 @@ class MARCONetTrainer:
         }
         return TrainState(jnp.zeros((), jnp.int32), enc, pri, srn, d, srd,
                           opt)
+
+    # -- eval forward for TB visuals ----------------------------------------
+
+    def visual_forward(self, state: TrainState,
+                       batch: TrainBatch) -> Dict[str, jax.Array]:
+        """Jittable eval pass for the periodic TensorBoard image grids
+        (reference ``tspgan_model.py:244-314``): encoder -> priors -> SR
+        with frozen spectral stats. Returns device arrays for
+        ``marconet_tpu.train.visuals.build_visual_grids``."""
+        b = batch.lq.shape[0]
+        n = MAX_CHARS
+        logits, locs_lr, w = self.encoder.apply(
+            {"params": state.encoder["params"]}, batch.lq)
+        pred_cw = L.lr_to_center_width(locs_lr)
+        safe_labels = jnp.where(batch.char_valid > 0, batch.labels,
+                                BLANK_INDEX).reshape(-1)
+        pri = self.prior.apply({"params": state.prior["params"]},
+                               jnp.repeat(w, n, axis=0), safe_labels)
+        srnet_eval = StructurePriorSRNet(dim=self.prior.channels[64],
+                                         dtype=self.dtype,
+                                         update_stats=False)
+        sr = srnet_eval.apply(
+            {"params": state.srnet["params"],
+             "spectral": state.srnet["spectral"]},
+            batch.lq,
+            pri.feat64.reshape(b, n, *pri.feat64.shape[1:]),
+            pri.feat32.reshape(b, n, *pri.feat32.shape[1:]),
+            pred_cw, batch.char_valid)
+        return {
+            "sr": sr,
+            "prior128": pri.image.reshape(b, n, 128, 128, 3),
+            "pred_cw": pred_cw,
+            "pred_ids": jnp.argmax(logits, axis=-1),
+        }
 
     # -- the G phase forward + loss ---------------------------------------
 
@@ -236,8 +293,8 @@ class MARCONetTrainer:
         prior128 = pri.image.reshape(b, n, 128, 128, 3)
         rgb64 = pri.rgb64.reshape(b, n, 64, 64, 3)
         rgb32 = pri.rgb32.reshape(b, n, 32, 32, 3)
-        feat64 = pri.feat64.reshape(b, n, 64, 64, 256)
-        feat32 = pri.feat32.reshape(b, n, 32, 32, 512)
+        feat64 = pri.feat64.reshape(b, n, *pri.feat64.shape[1:])
+        feat32 = pri.feat32.reshape(b, n, *pri.feat32.shape[1:])
 
         cmask = batch.char_valid[:, :, None, None, None]
         l_pix128 = L.l1_loss(prior128, batch.gt_chars, mask=cmask,
@@ -256,7 +313,7 @@ class MARCONetTrainer:
         # 4. prior GAN loss (D frozen in this phase, stats not updated)
         d_vars = {"params": state.net_d["params"],
                   "spectral": state.net_d["spectral"]}
-        fake_pred = UNetDiscriminatorSN(dtype=self.dtype).apply(
+        fake_pred = self._make_disc(update_stats=False).apply(
             d_vars, prior128.reshape(b * n, 128, 128, 3))
         l_g_gan = L.hinge_g_loss(
             fake_pred.reshape(b, n, -1),
@@ -280,7 +337,7 @@ class MARCONetTrainer:
 
         srd_vars = {"params": state.net_srd["params"],
                     "spectral": state.net_srd["spectral"]}
-        fake_srd = UNetDiscriminatorSN(dtype=self.dtype).apply(
+        fake_srd = self._make_disc(update_stats=False).apply(
             srd_vars,
             jnp.concatenate(
                 [sr_chars,
@@ -289,7 +346,7 @@ class MARCONetTrainer:
         l_sr_gan = L.hinge_g_loss(fake_srd.reshape(b, n, -1),
                                   mask=batch.char_valid[:, :, None]) \
             * cfg.srgan_lambda
-        fake_d = UNetDiscriminatorSN(dtype=self.dtype).apply(
+        fake_d = self._make_disc(update_stats=False).apply(
             d_vars, sr_chars.reshape(b * n, 128, 128, 3))
         l_sr_rgan = L.hinge_g_loss(fake_d.reshape(b, n, -1),
                                    mask=batch.char_valid[:, :, None]) \
@@ -351,7 +408,7 @@ class MARCONetTrainer:
             # two forwards (fake then real), as in the reference's D step;
             # also avoids concatenating along the sharded batch axis,
             # which would force an all-to-all resharding
-            dnet = UNetDiscriminatorSN(dtype=self.dtype, update_stats=True)
+            dnet = self._make_disc(update_stats=True)
             fake, upd = dnet.apply(
                 {"params": d_params, "spectral": spectral},
                 aux["sr_chars"].reshape(b * n, 128, 128, 3),
@@ -379,7 +436,7 @@ class MARCONetTrainer:
         fake_in = jnp.concatenate([aux["sr_chars"], aux["prior128"]], -1)
 
         def srd_loss(srd_params, spectral):
-            dnet = UNetDiscriminatorSN(dtype=self.dtype, update_stats=True)
+            dnet = self._make_disc(update_stats=True)
             fake, upd = dnet.apply(
                 {"params": srd_params, "spectral": spectral},
                 fake_in.reshape(b * n, 128, 128, 6),

@@ -68,6 +68,120 @@ class TestYOLO11:
         assert set(want_s) == set(got_s), (
             sorted(set(want_s) ^ set(got_s))[:8])
 
+    def test_conv_bn_silu_matches_torch(self, rng):
+        """ConvBNAct + the converter's _conv_bn mapping vs torch
+        conv/BN(eps=1e-3, running stats)/SiLU — pins the BN epsilon and
+        layout conventions for real ultralytics weights."""
+        import torch
+        import torch.nn.functional as F
+        from marconet_tpu.convert.yolo_import import _conv_bn
+        from marconet_tpu.models.yolo import ConvBNAct
+
+        cin, cout, k, s = 6, 10, 3, 2
+        sd = {
+            "m.conv.weight": rng.standard_normal(
+                (cout, cin, k, k)).astype(np.float32) * 0.2,
+            "m.bn.weight": 1 + rng.standard_normal(cout).astype(
+                np.float32) * 0.1,
+            "m.bn.bias": rng.standard_normal(cout).astype(np.float32),
+            "m.bn.running_mean": rng.standard_normal(cout).astype(
+                np.float32) * 0.1,
+            "m.bn.running_var": 1 + rng.uniform(
+                0, 0.5, cout).astype(np.float32),
+        }
+        params, stats = _conv_bn(sd, "m")
+        variables = {"params": params, "batch_stats": stats}
+        x = rng.standard_normal((2, 16, 16, cin)).astype(np.float32)
+        got = np.asarray(ConvBNAct(cout, k, s).apply(
+            jax.tree.map(jnp.asarray, variables), jnp.asarray(x)))
+
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        y = F.conv2d(xt, torch.from_numpy(sd["m.conv.weight"]),
+                     stride=s, padding=k // 2)
+        y = F.batch_norm(y, torch.from_numpy(sd["m.bn.running_mean"]),
+                         torch.from_numpy(sd["m.bn.running_var"]),
+                         torch.from_numpy(sd["m.bn.weight"]),
+                         torch.from_numpy(sd["m.bn.bias"]),
+                         training=False, eps=1e-3)
+        want = F.silu(y).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_dfl_decode_matches_torch(self, rng):
+        """DFL softmax-expectation + dist2bbox vs a torch restatement of
+        the ultralytics decode (grid_cell_offset=0.5, xyxy)."""
+        import torch
+        from marconet_tpu.models.yolo import REG_MAX, decode_dfl
+
+        hh, ww, stride, nc = 4, 6, 8, 1
+        braw = rng.standard_normal(
+            (1, hh, ww, 4 * REG_MAX)).astype(np.float32)
+        craw = rng.standard_normal((1, hh, ww, nc)).astype(np.float32)
+        boxes, scores = decode_dfl([jnp.asarray(braw)],
+                                   [jnp.asarray(craw)], (stride,), nc)
+
+        d = torch.from_numpy(braw).reshape(1, hh * ww, 4, REG_MAX)
+        d = torch.softmax(d, dim=-1) @ torch.arange(
+            REG_MAX, dtype=torch.float32)
+        ys, xs = torch.meshgrid(torch.arange(hh) + 0.5,
+                                torch.arange(ww) + 0.5, indexing="ij")
+        anchors = torch.stack([xs.reshape(-1), ys.reshape(-1)], -1)
+        lt, rb = d[..., :2], d[..., 2:]
+        want = torch.cat([(anchors - lt) * stride,
+                          (anchors + rb) * stride], -1).numpy()
+        np.testing.assert_allclose(np.asarray(boxes), want,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(scores),
+            torch.sigmoid(torch.from_numpy(
+                craw.reshape(1, hh * ww, nc))).numpy(),
+            rtol=1e-6, atol=1e-6)
+
+    def test_nms_matches_greedy_oracle(self, rng):
+        """Static NMS vs a plain greedy score-ordered NMS (the
+        torchvision/ultralytics algorithm) on random boxes."""
+        from marconet_tpu.models.yolo import nms_static
+
+        n = 60
+        cx = rng.uniform(0, 400, n)
+        cy = rng.uniform(0, 80, n)
+        w = rng.uniform(10, 40, n)
+        h = rng.uniform(10, 40, n)
+        boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2,
+                          cy + h / 2], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        conf, iou_t = 0.07, 0.1
+
+        def greedy():
+            order = np.argsort(-scores)
+            kept = []
+            for i in order:
+                if scores[i] < conf:
+                    continue
+                ok = True
+                for j in kept:
+                    xx1 = max(boxes[i, 0], boxes[j, 0])
+                    yy1 = max(boxes[i, 1], boxes[j, 1])
+                    xx2 = min(boxes[i, 2], boxes[j, 2])
+                    yy2 = min(boxes[i, 3], boxes[j, 3])
+                    inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+                    a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3]
+                                                         - boxes[i, 1])
+                    a_j = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3]
+                                                         - boxes[j, 1])
+                    if inter / (a_i + a_j - inter) > iou_t:
+                        ok = False
+                        break
+                if ok:
+                    kept.append(i)
+            return {tuple(np.round(boxes[i], 3)) for i in kept}
+
+        b, s, valid = nms_static(jnp.asarray(boxes), jnp.asarray(scores),
+                                 max_det=n, iou_thresh=iou_t,
+                                 conf_thresh=conf)
+        got = {tuple(np.round(np.asarray(bb), 3))
+               for bb, v in zip(np.asarray(b), np.asarray(valid)) if v > 0}
+        assert got == greedy()
+
     def test_nms_static(self):
         boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11],
                              [50, 0, 60, 10], [100, 0, 110, 10]],
@@ -85,20 +199,152 @@ class TestYOLO11:
 
 class TestConvNeXtOCR:
     def test_forward_and_decode(self):
-        m = ConvNeXtOCR(num_classes=40)
+        from marconet_tpu.models.convnext_ocr import OCRConfig, ConvNextViT
+
+        m = ConvNextViT(config=OCRConfig(
+            depths=(1, 1, 1, 1), dims=(8, 16, 24, 32), vit_depth=1,
+            vit_dim=32, vit_heads=1, num_classes=40))
         x = jnp.zeros((1, 32, 96, 3))
         variables = m.init(jax.random.PRNGKey(0), x)
         logits = m.apply(variables, x)
-        assert logits.shape == (1, 96 // 8, 40)
-        texts = decode_ctc(np.asarray(logits), charset="abcdefghij" * 4)
+        assert logits.shape == (1, 96 // 4, 40)
+        texts = decode_ctc(np.asarray(logits), charset="abcdefghij" * 3,
+                           blank=0, offset=1)
         assert isinstance(texts[0], str)
+
+    def test_alphabet_factory(self):
+        from marconet_tpu.alphabet import NUM_CLASSES
+
+        m = ConvNeXtOCR()
+        assert m.config.num_classes == NUM_CLASSES
+        assert m.config.blank_index == NUM_CLASSES - 1
 
     def test_ctc_decode_collapse(self):
         # T=5, C=4 (blank=3): argmax sequence a a blank b b -> "ab"
         logits = np.full((1, 5, 4), -10.0, np.float32)
         for t, c in enumerate([0, 0, 3, 1, 1]):
             logits[0, t, c] = 10.0
-        assert decode_ctc(logits, charset="abc")[0] == "ab"
+        assert decode_ctc(logits, charset="abc", blank=3)[0] == "ab"
+
+    def test_ctc_decode_offset(self):
+        # ModelScope convention: blank 0, charset ids start at offset 2
+        logits = np.full((1, 4, 6), -10.0, np.float32)
+        for t, c in enumerate([2, 0, 2, 3]):
+            logits[0, t, c] = 10.0
+        assert decode_ctc(logits, charset="xyz", blank=0,
+                          offset=2)[0] == "xxy"
+
+
+class TestModelScopeOCRConverter:
+    """Converter coverage + numerics against the torch functional oracle
+    on the recorded ModelScope key layout (refresh the layout with
+    tools/export_ocr_sd.py's key manifest when the real export lands)."""
+
+    @pytest.fixture(scope="class")
+    def converted(self):
+        from marconet_tpu.convert.ocr_import import convert_modelscope_ocr
+        from tests.ocr_spec import modelscope_ocr_state_spec
+
+        rng = np.random.default_rng(7)
+        sd = modelscope_ocr_state_spec(rng)
+        variables, cfg = convert_modelscope_ocr(sd)
+        return sd, variables, cfg
+
+    def test_config_derived_from_shapes(self, converted):
+        from tests import ocr_spec as S
+
+        _, _, cfg = converted
+        assert cfg.depths == S.DEPTHS and cfg.dims == S.DIMS
+        assert cfg.vit_depth == S.VIT_DEPTH and cfg.vit_dim == S.VIT_DIM
+        assert cfg.num_classes == S.NUM_CLASSES
+        assert cfg.use_cls_token and cfg.use_vit_proj
+
+    def test_full_tree_coverage(self, converted):
+        from marconet_tpu.models.convnext_ocr import ConvNextViT
+
+        _, variables, cfg = converted
+        m = ConvNextViT(config=cfg)
+        want = jax.tree.map(lambda x: x.shape,
+                            m.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 32, 64, 3)))["params"])
+        got = jax.tree.map(lambda x: np.asarray(x).shape,
+                           variables["params"])
+        assert jax.tree.structure(want) == jax.tree.structure(got)
+        for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            assert w == g
+
+    def test_strict_on_extra_and_missing_keys(self, converted):
+        from marconet_tpu.convert.ocr_import import (ConversionError,
+                                                     convert_modelscope_ocr)
+
+        sd, _, _ = converted
+        extra = dict(sd)
+        extra["recognizer.surprise.weight"] = np.zeros(3, np.float32)
+        with pytest.raises(ConversionError, match="unmapped"):
+            convert_modelscope_ocr(extra)
+        missing = {k: v for k, v in sd.items()
+                   if k != "recognizer.blocks.0.attn.proj.bias"}
+        with pytest.raises(ConversionError, match="missing"):
+            convert_modelscope_ocr(missing)
+
+    def test_matches_torch_oracle(self, converted):
+        from marconet_tpu.models.convnext_ocr import ConvNextViT
+        from tests.ocr_spec import torch_convnextvit_forward
+
+        sd, variables, cfg = converted
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32)
+        got = np.asarray(ConvNextViT(config=cfg).apply(
+            jax.tree.map(jnp.asarray, variables), jnp.asarray(x)))
+        want = torch_convnextvit_forward(sd, x)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestLegacyOCRConverter:
+    def test_matches_reference_transformer_ocr(self):
+        """Convert a randomly-initialized REFERENCE TransformerOCR
+        (imported from /root/reference/models/ocr.py) and check logits
+        parity — the net_real_world_ocr/net_new_bbox load path."""
+        import importlib
+        import sys
+
+        import torch
+
+        if not __import__("os").path.isdir("/root/reference/models"):
+            pytest.skip("reference not available")
+        sys.path.insert(0, "/root/reference")
+        try:
+            ref_ocr = importlib.import_module("models.ocr")
+        except Exception as e:
+            pytest.skip(f"cannot import reference ocr: {e}")
+        finally:
+            sys.path.pop(0)
+
+        from marconet_tpu.convert.ocr_import import convert_legacy_ocr
+
+        torch.manual_seed(0)
+        ref = ref_ocr.TransformerOCR(word_n_class=60, use_new_bbox=True)
+        ref.eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables = jax.tree.map(jnp.asarray, convert_legacy_ocr(sd))
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(-1, 1, (1, 32, 64, 3)).astype(np.float32)
+        text = np.array([[1, 5, 9, 2]], np.int64)
+        with torch.no_grad():
+            out = ref(torch.from_numpy(img).permute(0, 3, 1, 2),
+                      text_length=torch.tensor([4]),
+                      text_input=torch.from_numpy(text), test=True)
+        want = out["pred"].numpy()
+        want_loc = out["loc"].numpy()
+
+        m = LegacyTransformerOCR(vocab=60, use_loc_head=True)
+        logits, locs = m.apply(variables, jnp.asarray(img),
+                               jnp.asarray(text.astype(np.int32)))
+        np.testing.assert_allclose(np.asarray(logits), want,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(locs), want_loc,
+                                   rtol=2e-4, atol=2e-4)
 
 
 class TestLegacyOCR:

@@ -140,9 +140,10 @@ class TestPipeline:
     @pytest.mark.slow
     @pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
                         reason="two full-pipeline compiles; RUN_SLOW=1")
-    def test_slot_bucketing_is_bit_exact(self):
+    def test_slot_bucketing_equivalent(self):
         """restore with N=8 slots == restore with 16 slots and the extra
-        8 masked (the serve-path slot-bucketing invariant)."""
+        8 masked (the serve-path slot-bucketing invariant; float-noise
+        tolerance — see the reduced test's note)."""
         net = MARCONet()
         params = net.init(jax.random.PRNGKey(0))
         rng = np.random.default_rng(0)
@@ -159,8 +160,39 @@ class TestPipeline:
             [locs8, jnp.zeros((1, 16), jnp.float32)], 1)
         mask16 = jnp.concatenate([mask8, jnp.zeros((1, 8))], 1)
         out16 = net.restore(params, lq, lab16, locs16, mask16)
-        np.testing.assert_array_equal(np.asarray(out8.sr),
-                                      np.asarray(out16.sr))
+        np.testing.assert_allclose(np.asarray(out8.sr),
+                                   np.asarray(out16.sr),
+                                   rtol=0, atol=5e-5)
+
+    def test_slot_bucketing_equivalent_reduced(self):
+        """Same invariant as the RUN_SLOW full-size test, at reduced
+        width (identical code path) so the serve-path bucketing claim is
+        exercised on every default-suite run.
+
+        Tolerance note: masked extra slots are semantically inert, and on
+        a fixed single-device config the two runs are bit-identical; under
+        the suite's 8-virtual-device CPU flag XLA partitions intra-op
+        parallelism differently per program, reassociating reductions —
+        so the assertion allows float-noise-level differences."""
+        net = MARCONet(width=0.125)
+        params = net.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        lq = jnp.asarray(rng.uniform(-1, 1, (1, 32, 512, 3))
+                         .astype(np.float32))
+        lab8 = jnp.asarray(rng.integers(0, 6735, (1, 8)).astype(np.int32))
+        locs8 = jnp.asarray(rng.uniform(0.05, 0.95, (1, 16))
+                            .astype(np.float32))
+        mask8 = jnp.ones((1, 8), jnp.float32)
+        out8 = net.restore(params, lq, lab8, locs8, mask8)
+        lab16 = jnp.concatenate(
+            [lab8, jnp.full((1, 8), 6735, jnp.int32)], 1)
+        locs16 = jnp.concatenate(
+            [locs8, jnp.zeros((1, 16), jnp.float32)], 1)
+        mask16 = jnp.concatenate([mask8, jnp.zeros((1, 8))], 1)
+        out16 = net.restore(params, lq, lab16, locs16, mask16)
+        np.testing.assert_allclose(np.asarray(out8.sr),
+                                   np.asarray(out16.sr),
+                                   rtol=0, atol=5e-5)
 
     def test_interpolate_styles(self):
         net = MARCONet()

@@ -152,9 +152,111 @@ class TestBatchPrep:
         assert d["gt_chars"][0, 5].max() == -1.0
 
 
-# The full-step tests compile the entire 5-net GAN graph — minutes of
-# XLA:CPU compile time — so they are opt-in (RUN_SLOW=1); the driver's
-# dryrun_multichip exercises the same step on every round.
+class TestTrainStepReduced:
+    """Full 3-phase GAN step + 8-device mesh, at reduced channel width.
+
+    Same code path as the full-size step (``MARCONetTrainer(width=...)``
+    scales channel plans only), small enough to compile in the default
+    suite — the risk paths (5-net graph, mesh sharding, spectral-state
+    plumbing, optimizer updates) are exercised on every ``pytest -q``.
+    """
+
+    WIDTH = 0.125
+
+    def test_step_on_8_device_mesh_reduced(self, rng):
+        from marconet_tpu.parallel import make_mesh, shard_batch
+        from marconet_tpu.parallel.mesh import replicate_tree
+
+        mesh = make_mesh(8)
+        trainer = MARCONetTrainer(TrainConfig(), width=self.WIDTH)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        old = {name: np.asarray(
+            jax.tree.leaves(getattr(state, name)["params"])[0])
+            for name in ("encoder", "prior", "srnet", "net_d", "net_srd")}
+        state = replicate_tree(mesh, state)
+        batch = TrainBatch(**{k: jnp.asarray(v)
+                              for k, v in tiny_batch(rng, b=8).items()})
+        batch = TrainBatch(*shard_batch(mesh, tuple(batch)))
+        step = jax.jit(trainer.train_step, donate_argnums=0)
+        new_state, metrics = step(state, batch)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+        assert int(new_state.step) == 1
+        for name, before in old.items():
+            after = jax.tree.leaves(getattr(new_state, name)["params"])[0]
+            assert not np.allclose(before, np.asarray(after)), name
+
+    def test_visual_forward_shapes(self, rng):
+        trainer = MARCONetTrainer(TrainConfig(), width=self.WIDTH)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = TrainBatch(**{k: jnp.asarray(v)
+                              for k, v in tiny_batch(rng, b=2).items()})
+        vis = jax.jit(trainer.visual_forward)(state, batch)
+        assert vis["sr"].shape == (2, 128, 2048, 3)
+        assert vis["prior128"].shape == (2, 16, 128, 128, 3)
+        assert vis["pred_cw"].shape == (2, 32)
+        assert vis["pred_ids"].shape == (2, 64)
+
+
+class TestVisualGrids:
+    def test_build_visual_grids(self, rng):
+        from marconet_tpu.train.visuals import (build_visual_grids,
+                                                ctc_collapse_ids)
+
+        b = 2
+        gt = rng.uniform(-1, 1, (b, 128, 2048, 3)).astype(np.float32)
+        lq = rng.uniform(-1, 1, (b, 32, 512, 3)).astype(np.float32)
+        sr = rng.uniform(-1, 1, (b, 128, 2048, 3)).astype(np.float32)
+        pri = rng.uniform(-1, 1, (b, 16, 128, 128, 3)).astype(np.float32)
+        gtc = rng.uniform(-1, 1, (b, 16, 128, 128, 3)).astype(np.float32)
+        cw = np.tile(np.array([0.1, 0.03] * 16, np.float32), (b, 1))
+        lr = np.tile(np.array([0.07, 0.13] * 16, np.float32), (b, 1))
+        ids = np.full((b, 64), 6735, np.int64)
+        ids[:, :3] = [[4, 4, 9]] * b
+        grids = build_visual_grids(gt, lq, sr, pri, gtc, cw, lr, ids)
+        assert set(grids) == {"1_gt_sr_lq", "2_pred_locs", "1_pred_text",
+                              "3_char_gt", "3_char_prior"}
+        for img in grids.values():
+            assert img.dtype == np.uint8 and img.ndim == 3
+        # CTC collapse drops the repeat and the blanks
+        assert len(ctc_collapse_ids(ids[0])) == 2
+
+
+class TestMakeMesh:
+    def test_multi_axis_requires_shape(self):
+        from marconet_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError):
+            make_mesh(8, axes=("dcn", "data"))
+        mesh = make_mesh(8, axes=("dcn", "data"), shape=(2, 4))
+        assert mesh.devices.shape == (2, 4)
+        assert mesh.axis_names == ("dcn", "data")
+        with pytest.raises(ValueError):
+            make_mesh(8, axes=("dcn", "data"), shape=(3, 3))
+
+    def test_dp_over_dcn_axis_step(self, rng):
+        """Batch sharded over BOTH mesh axes (2 slices x 4 chips) runs the
+        jitted step — the multi-slice scale-out layout."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from marconet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8, axes=("dcn", "data"), shape=(2, 4))
+        sh = NamedSharding(mesh, P(("dcn", "data")))
+
+        @jax.jit
+        def mean_grad(x):
+            return jax.grad(lambda y: (y ** 2).sum())(x).mean()
+
+        x = jax.device_put(
+            jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32)),
+            sh)
+        assert np.isfinite(float(mean_grad(x)))
+
+
+# The full-size step tests compile the entire 5-net GAN graph — tens of
+# minutes of XLA:CPU compile time on this host — so they are opt-in
+# (RUN_SLOW=1); TestTrainStepReduced covers the same code path in the
+# default suite and the driver's dryrun_multichip runs it every round.
 @pytest.mark.slow
 @pytest.mark.skipif(not __import__("os").environ.get("RUN_SLOW"),
                     reason="set RUN_SLOW=1 to run full train-step tests")

@@ -26,14 +26,25 @@ TRAIN_FILES = [
     "FontsType-V1.zip",
 ]
 
+# LPIPS perceptual-loss weights (reference uses the pretrained lpips VGG,
+# Train/tspgan/losses/text_loss.py:77-105): torchvision VGG16 trunk + the
+# lpips package's v0.1 linear heads. Saved under the names
+# marconet_tpu.train.lpips.load_lpips_variables searches for.
+LPIPS_FILES = [
+    ("https://download.pytorch.org/models/vgg16-397923af.pth",
+     "vgg16-397923af.pth"),
+    ("https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/"
+     "master/lpips/weights/v0.1/vgg.pth", "lpips_vgg.pth"),
+]
 
-def fetch(name: str, out_dir: str):
+
+def fetch(name: str, out_dir: str, url: str = None):
     os.makedirs(out_dir, exist_ok=True)
     dst = os.path.join(out_dir, name)
     if os.path.exists(dst):
         print(f"{dst} exists, skipping")
         return
-    url = f"{RELEASE}/{name}"
+    url = url or f"{RELEASE}/{name}"
     print(f"downloading {url} -> {dst}")
     urllib.request.urlretrieve(url, dst)
 
@@ -42,13 +53,16 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out_dir", default="./checkpoints")
     parser.add_argument("--train", action="store_true",
-                        help="also fetch training warm-start files + fonts")
+                        help="also fetch training warm-start files + fonts "
+                             "+ LPIPS weights")
     args = parser.parse_args()
     for name in INFERENCE_FILES:
         fetch(name, args.out_dir)
     if args.train:
         for name in TRAIN_FILES:
             fetch(name, args.out_dir)
+        for url, name in LPIPS_FILES:
+            fetch(name, args.out_dir, url=url)
 
 
 if __name__ == "__main__":

@@ -107,6 +107,22 @@ def main():
         if frontend is not None:
             det = frontend(img)
             text, locs_vec = det.text, det.locs
+            if len(det.boxes) > 0 and not any(det.chars):
+                # OCR recognizer weights absent: recognize with the
+                # encoder's own CTC head (the reference's test_w.py
+                # clear_labels path), keeping YOLO boxes for locs
+                from marconet_tpu.alphabet import collapse_ctc_labels
+                logits, _, _ = net.encode(params, jnp.asarray(lq))
+                collapsed = collapse_ctc_labels(np.asarray(
+                    logits[0], np.float32))
+                text = text_from_labels(collapsed)
+                n_boxes = len(det.boxes)
+                if len(text) != n_boxes:
+                    print(f"Warning!!! {img_name}: encoder CTC gave "
+                          f"{len(text)} chars for {n_boxes} boxes; "
+                          "using the shorter count.")
+                    text = text[:n_boxes]
+                print(f"  encoder-CTC recognition: {text!r}")
         else:
             text = base.split("_")[-1]
             locs_vec = None

@@ -25,12 +25,17 @@ def main():
                         default="options/train.yml")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop early (smoke tests)")
+    parser.add_argument("--allow_random_lpips", action="store_true",
+                        help="permit training without pretrained LPIPS "
+                             "VGG weights (different objective!)")
     args = parser.parse_args()
 
     from marconet_tpu.train.config import load_config
     from marconet_tpu.train.loop import train
 
     config = load_config(args.options)
+    if args.allow_random_lpips:
+        config.loop.allow_random_lpips = True
     train(config, max_steps=args.max_steps)
 
 
