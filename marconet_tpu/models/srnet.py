@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from marconet_tpu.ops import pallas_sft
 from marconet_tpu.ops.layers import (
     Conv,
     ResTextBlockV2,
@@ -158,8 +159,27 @@ class SFTFusion(nn.Module):
         def flat(t):
             return t.reshape(b * n, h, win, t.shape[-1])
 
-        lq_f, prior_f = flat(lq_win), flat(prior_win)
         m = colmask.reshape(b * n, 1, win, 1)
+
+        if pallas_sft.use_pallas_sft(self.update_stats, c):
+            # fused TPU path: masking, AdaIN, norm1+swish run inside the
+            # Pallas kernels; the conv stacks stay XLA; the write-back is
+            # a sequential RMW kernel with the same overlap semantics
+            lq_f, prior_f = flat(lq_win), flat(prior_win)
+            lens = L.reshape(-1)
+            fuse = ResTextBlockV2(self.features,
+                                  update_stats=self.update_stats,
+                                  dtype=self.dtype, name="fuse")(
+                None, mask=m, fused_pair=(prior_f, lq_f), lengths=lens)
+            scale = SNStack(self.features, update_stats=self.update_stats,
+                            dtype=self.dtype, name="scale")(fuse, mask=m)
+            shift = SNStack(self.features, update_stats=self.update_stats,
+                            dtype=self.dtype, name="shift")(fuse, mask=m)
+
+            res = (lq_f * scale + shift).reshape(b, n, h, win, c)
+            return pallas_sft.sft_writeback(canvas, res, x1, L, char_mask)
+
+        lq_f, prior_f = flat(lq_win), flat(prior_win)
         lq_f = lq_f * m.astype(lq_f.dtype)
         prior_f = prior_f * m.astype(prior_f.dtype)
 

@@ -156,7 +156,7 @@ class GroupNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, params_only=False):
         c = x.shape[-1]
         # width-reduced configs (dryrun/CI) may have fewer channels than a
         # full group; fall back to one group then (full-size models always
@@ -165,6 +165,10 @@ class GroupNorm(nn.Module):
         assert c % cpg == 0
         gamma = self.param("scale", nn.initializers.ones, (c,))
         beta = self.param("bias", nn.initializers.zeros, (c,))
+        if params_only:
+            # fused Pallas paths apply the normalization themselves but
+            # must still own the affine parameters (x is a shape donor)
+            return gamma, beta
         return group_norm(x, gamma, beta, c // cpg, self.eps, mask=mask)
 
 
@@ -296,7 +300,9 @@ class ResTextBlockV2(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_in, mask=None):
+    def __call__(self, x_in, mask=None, fused_pair=None, lengths=None):
+        if fused_pair is not None:
+            return self._fused(fused_pair, mask, lengths)
         in_features = x_in.shape[-1]
         x = GroupNorm(name="norm1")(x_in, mask=mask)
         x = swish(x)
@@ -316,6 +322,36 @@ class ResTextBlockV2(nn.Module):
             if mask is not None:
                 x_in = x_in * mask.astype(x_in.dtype)
         return x + x_in
+
+    def _fused(self, fused_pair, mask, lengths):
+        """TPU fused-kernel variant of the SFT fuse block.
+
+        Takes the (prior, lq) window pair directly; AdaIN + the virtual
+        concat + norm1 + swish happen inside one Pallas pass
+        (``ops/pallas_sft.adain_gn_concat``), norm2 + swish in another.
+        Identical math and parameter tree to the XLA path above.
+        """
+        from marconet_tpu.ops import pallas_sft
+
+        prior_f, lq_f = fused_pair
+        c2 = 2 * prior_f.shape[-1]
+        shape_donor = jnp.zeros((1, 1, 1, c2), prior_f.dtype)
+        g1, b1 = GroupNorm(name="norm1")(shape_donor, params_only=True)
+        y, xin = pallas_sft.adain_gn_concat(prior_f, lq_f, lengths, g1, b1)
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   dtype=self.dtype, name="conv1")(y)
+        g2, b2 = GroupNorm(name="norm2")(
+            jnp.zeros((1, 1, 1, self.features), x.dtype), params_only=True)
+        x = pallas_sft.gn_swish(x, lengths, g2, b2)
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   dtype=self.dtype, name="conv2")(x)
+        if mask is not None:
+            x = x * mask.astype(x.dtype)
+        skip = Conv(self.features, kernel_size=(1, 1), padding="VALID",
+                    dtype=self.dtype, name="conv_out")(xin)
+        if mask is not None:
+            skip = skip * mask.astype(skip.dtype)
+        return x + skip
 
 
 # ---------------------------------------------------------------------------
