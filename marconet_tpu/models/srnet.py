@@ -137,19 +137,6 @@ class SFTFusion(nn.Module):
 
         x1, L, y1 = _window_geometry(locs, hw, width)
 
-        # windows from the right-padded canvas — constant width `win`
-        padded = jnp.pad(canvas, ((0, 0), (0, 0), (0, win), (0, 0)))
-        lq_win = _gather_windows(padded, x1, win)  # (B, N, H, win, C)
-
-        # prior crop: cols y1..y1+L map to window cols 0..L
-        prior_pad = jnp.pad(priors, ((0, 0), (0, 0), (0, 0), (0, win),
-                                     (0, 0)))
-
-        def crop(p, s):  # p: (H, 2*win, C)
-            return jax.lax.dynamic_slice_in_dim(p, s, win, axis=1)
-
-        prior_win = jax.vmap(jax.vmap(crop))(prior_pad, y1)
-
         # column-validity mask (B, N, 1, win, 1)
         cols = jnp.arange(win)
         colmask = (cols[None, None, :] < L[:, :, None]).astype(canvas.dtype)
@@ -161,23 +148,41 @@ class SFTFusion(nn.Module):
 
         m = colmask.reshape(b * n, 1, win, 1)
 
-        if pallas_sft.use_pallas_sft(self.update_stats, c):
-            # fused TPU path: masking, AdaIN, norm1+swish run inside the
-            # Pallas kernels; the conv stacks stay XLA; the write-back is
-            # a sequential RMW kernel with the same overlap semantics
-            lq_f, prior_f = flat(lq_win), flat(prior_win)
+        if pallas_sft.use_pallas_sft(self.update_stats, c) \
+                and width % 16 == 0 and win % 16 == 0 \
+                and width >= win + 16:
+            # fused TPU path: window gather, prior-crop alignment, AdaIN
+            # and norm1+swish run inside one Pallas kernel; the conv
+            # stacks stay XLA; the write-back is a sequential RMW kernel
+            # with the reference's overlap semantics
             lens = L.reshape(-1)
-            fuse = ResTextBlockV2(self.features,
-                                  update_stats=self.update_stats,
-                                  dtype=self.dtype, name="fuse")(
-                None, mask=m, fused_pair=(prior_f, lq_f), lengths=lens)
+            fuse, xin = ResTextBlockV2(
+                self.features, update_stats=self.update_stats,
+                dtype=self.dtype, name="fuse")(
+                None, mask=m, fused_windows=(canvas, priors, x1, y1, L),
+                lengths=lens)
             scale = SNStack(self.features, update_stats=self.update_stats,
                             dtype=self.dtype, name="scale")(fuse, mask=m)
             shift = SNStack(self.features, update_stats=self.update_stats,
                             dtype=self.dtype, name="shift")(fuse, mask=m)
 
+            lq_f = xin[..., c:]  # the gathered (masked) LQ windows
             res = (lq_f * scale + shift).reshape(b, n, h, win, c)
             return pallas_sft.sft_writeback(canvas, res, x1, L, char_mask)
+
+        # windows from the right-padded canvas — constant width `win`;
+        # hw pad suffices: x1 <= W - hw - 1, so x1 + win <= W + hw - 1
+        padded = jnp.pad(canvas, ((0, 0), (0, 0), (0, hw), (0, 0)))
+        lq_win = _gather_windows(padded, x1, win)  # (B, N, H, win, C)
+
+        # prior crop: cols y1..y1+L map to window cols 0..L; y1 <= hw
+        prior_pad = jnp.pad(priors, ((0, 0), (0, 0), (0, 0), (0, hw),
+                                     (0, 0)))
+
+        def crop(p, s):  # p: (H, 2*win, C)
+            return jax.lax.dynamic_slice_in_dim(p, s, win, axis=1)
+
+        prior_win = jax.vmap(jax.vmap(crop))(prior_pad, y1)
 
         lq_f, prior_f = flat(lq_win), flat(prior_win)
         lq_f = lq_f * m.astype(lq_f.dtype)

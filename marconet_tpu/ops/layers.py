@@ -300,9 +300,9 @@ class ResTextBlockV2(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_in, mask=None, fused_pair=None, lengths=None):
-        if fused_pair is not None:
-            return self._fused(fused_pair, mask, lengths)
+    def __call__(self, x_in, mask=None, fused_windows=None, lengths=None):
+        if fused_windows is not None:
+            return self._fused(fused_windows, mask, lengths)
         in_features = x_in.shape[-1]
         x = GroupNorm(name="norm1")(x_in, mask=mask)
         x = swish(x)
@@ -323,21 +323,31 @@ class ResTextBlockV2(nn.Module):
                 x_in = x_in * mask.astype(x_in.dtype)
         return x + x_in
 
-    def _fused(self, fused_pair, mask, lengths):
+    def _fused(self, fused_windows, mask, lengths):
         """TPU fused-kernel variant of the SFT fuse block.
 
-        Takes the (prior, lq) window pair directly; AdaIN + the virtual
-        concat + norm1 + swish happen inside one Pallas pass
-        (``ops/pallas_sft.adain_gn_concat``), norm2 + swish in another.
+        Takes the canvas + per-slot priors + window geometry directly;
+        window gather, prior-crop alignment, AdaIN, the virtual concat,
+        norm1 and swish all happen inside one Pallas pass
+        (``ops/pallas_sft.adain_gn_windows``), norm2 + swish in another.
         Identical math and parameter tree to the XLA path above.
+
+        Returns ``(out, xin)`` — the block output and the concat
+        ``[adain, lq_window]`` tensor (the caller reads the gathered LQ
+        windows from xin's second half).
         """
         from marconet_tpu.ops import pallas_sft
 
-        prior_f, lq_f = fused_pair
-        c2 = 2 * prior_f.shape[-1]
-        shape_donor = jnp.zeros((1, 1, 1, c2), prior_f.dtype)
+        canvas, priors, x1, y1, wlen = fused_windows
+        c = priors.shape[-1]
+        c2 = 2 * c
+        shape_donor = jnp.zeros((1, 1, 1, c2), priors.dtype)
         g1, b1 = GroupNorm(name="norm1")(shape_donor, params_only=True)
-        y, xin = pallas_sft.adain_gn_concat(prior_f, lq_f, lengths, g1, b1)
+        y5, xin5 = pallas_sft.adain_gn_windows(canvas, priors, x1, y1,
+                                               wlen, g1, b1)
+        bb, ss, h, win, _ = y5.shape
+        y = y5.reshape(bb * ss, h, win, c2)
+        xin = xin5.reshape(bb * ss, h, win, c2)
         x = SNConv(self.features, update_stats=self.update_stats,
                    dtype=self.dtype, name="conv1")(y)
         g2, b2 = GroupNorm(name="norm2")(
@@ -351,7 +361,7 @@ class ResTextBlockV2(nn.Module):
                     dtype=self.dtype, name="conv_out")(xin)
         if mask is not None:
             skip = skip * mask.astype(skip.dtype)
-        return x + skip
+        return x + skip, xin
 
 
 # ---------------------------------------------------------------------------

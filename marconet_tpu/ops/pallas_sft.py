@@ -57,6 +57,15 @@ FORCE_INTERPRET = False
 def use_pallas_sft(update_stats: bool, channels: int) -> bool:
     """Whether the SFT modules should take the fused Pallas path.
 
+    Default OFF: measured on v5e (tools/bench_srnet_parts.py, batch 16),
+    XLA's pipelined fusion of the masked-moment/gather/write-back chains
+    already sits at parity — sft_64 scale 50.0 ms (XLA) vs 51.5 ms
+    (Pallas kernels fed by BlockSpec windows) vs 60.8 ms (kernel-side
+    DMA gather; the per-step serialized DMAs lose to the pipelined
+    BlockSpec prefetch). The kernels remain available
+    (MARCONET_PALLAS_SFT=1) as the fusion pattern for future shapes and
+    are pinned by interpreter-mode tests either way.
+
     Inference-only (the XLA path carries the gradients for training),
     lane-aligned channel counts only (width-reduced CI configs fall back),
     TPU backend only — unless a test forces interpreter mode.
@@ -65,7 +74,7 @@ def use_pallas_sft(update_stats: bool, channels: int) -> bool:
         return False
     if FORCE_INTERPRET:
         return True
-    if os.environ.get("MARCONET_PALLAS_SFT") == "0":
+    if os.environ.get("MARCONET_PALLAS_SFT") != "1":
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -118,20 +127,38 @@ def _gn_swish_block(x, gamma, beta, m, count, cpg, eps):
 
 
 # ---------------------------------------------------------------------------
-# adain_gn_concat
+# adain_gn_windows
 # ---------------------------------------------------------------------------
 
 
-def _adain_gn_kernel(len_ref, prior_ref, lq_ref, gamma_ref, beta_ref,
-                     y_ref, xin_ref, *, nct, cpg, eps_gn, eps_adain):
-    b = pl.program_id(0)
-    ct = pl.program_id(1)
-    h, w = prior_ref.shape[1], prior_ref.shape[2]
-    length = len_ref[b]
-    m = _colmask(h, w, length, jnp.float32)
-    count = jnp.maximum(length.astype(jnp.float32), 1.0) * h
+def _shift_cols(buf, shift, out_w):
+    """out[j] = buf[j + shift] via an exact one-hot matmul.
 
-    lq = lq_ref[0]
+    buf: (h, w_in, c); shift: dynamic scalar; returns (h, out_w, c).
+    Selection matmul, so low-precision accumulation would be exact —
+    Mosaic requires a 32-bit accumulator regardless.
+    """
+    w_in = buf.shape[1]
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (out_w, w_in), 0)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (out_w, w_in), 1)
+    p = (k_ids == j_ids + shift).astype(buf.dtype)
+    out = jax.lax.dot_general(
+        p, buf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(buf.dtype)                       # (j, h, c)
+    return jnp.transpose(out, (1, 0, 2))      # (h, j, c)
+
+
+def _adain_gn_kernel(x1_ref, y1_ref, len_ref, canvas_ref, prior_ref,
+                     gamma_ref, beta_ref, y_ref, xin_ref, raw, cache,
+                     sem, *, nct, cpg, eps_gn, eps_adain, width, win):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    ct = pl.program_id(2)
+    h = prior_ref.shape[2]
+    length = len_ref[b, s]
+    m = _colmask(h, win, length, jnp.float32)
+    count = jnp.maximum(length.astype(jnp.float32), 1.0) * h
 
     def stats(f32):
         mean, ex2 = _channel_stats(f32, m, count)
@@ -140,83 +167,117 @@ def _adain_gn_kernel(len_ref, prior_ref, lq_ref, gamma_ref, beta_ref,
         var = var * (count / jnp.maximum(count - 1.0, 1.0))
         return mean, jnp.sqrt(var + eps_adain)
 
-    def adain_half():
-        lq32 = lq.astype(jnp.float32) * m
-        p32 = prior_ref[0].astype(jnp.float32) * m
+    def emit(x):
+        xin_ref[0, 0] = x
+        y_ref[0, 0] = _gn_swish_block(x, gamma_ref, beta_ref, m, count,
+                                      cpg, eps_gn)
+
+    @pl.when(ct < nct)
+    def _adain_half():
+        # gather this channel tile's LQ window straight from the canvas:
+        # aligned wide DMA + in-VMEM column shift (see sft_writeback)
+        x1 = x1_ref[b, s]
+        x1a = jnp.minimum(
+            (jnp.minimum(x1, width - win) // _ALIGN) * _ALIGN,
+            width - (win + _ALIGN))
+        x1a = pl.multiple_of(x1a, _ALIGN)
+        cp = pltpu.make_async_copy(
+            canvas_ref.at[b, :, pl.ds(x1a, win + _ALIGN),
+                          pl.ds(ct * _LANES, _LANES)], raw, sem)
+        cp.start()
+        cp.wait()
+        lqw = _shift_cols(raw[...], x1 - x1a, win)
+        cache[ct] = lqw  # reused by this (b, s)'s lq-half step below
+        # prior crop: content lives at [y1, y1+length) -> align to 0
+        prw = _shift_cols(prior_ref[0, 0], y1_ref[b, s], win)
+
+        lq32 = lqw.astype(jnp.float32) * m
+        p32 = prw.astype(jnp.float32) * m
         lmean, lstd = stats(lq32)
         pmean, pstd = stats(p32)
         out = (p32 - pmean[None, None, :]) / pstd[None, None, :] \
             * lstd[None, None, :] + lmean[None, None, :]
-        return (out * m).astype(lq.dtype)
+        emit((out * m).astype(lqw.dtype))
 
-    x = jax.lax.cond(ct < nct, adain_half,
-                     lambda: lq * m.astype(lq.dtype))
-    xin_ref[0] = x
-    y_ref[0] = _gn_swish_block(x, gamma_ref, beta_ref, m, count, cpg,
-                               eps_gn)
+    @pl.when(ct >= nct)
+    def _lq_half():
+        emit(cache[jnp.maximum(ct - nct, 0)] * m.astype(cache.dtype))
 
 
-def adain_gn_concat(prior_f, lq_f, lengths, gamma, beta, *, cpg=32,
-                    eps_gn=1e-6, eps_adain=1e-5, interpret=None):
-    """Fused masked AdaIN + GroupNorm + swish over window batches.
+def adain_gn_windows(canvas, priors, x1, y1, lengths, gamma, beta, *,
+                     cpg=32, eps_gn=1e-6, eps_adain=1e-5, interpret=None):
+    """Fused window gather + masked AdaIN + GroupNorm + swish.
+
+    Extracts each character slot's constant-width LQ window from the
+    canvas (aligned DMA + exact column-shift matmul), aligns the prior
+    crop, renormalizes the prior to the LQ window statistics
+    (``calc_mean_std_4D`` semantics) and emits the fuse block's two
+    inputs — all in one VMEM pass per channel tile.
 
     Args:
-      prior_f, lq_f: (B, H, W, C) window batches (B = batch * slots).
-      lengths: (B,) int32 valid column counts.
-      gamma, beta: (2C,) affine parameters of the GroupNorm over the
-        virtual concat([adain, lq]) tensor.
+      canvas: (B, H, W, C) LQ feature canvas.
+      priors: (B, S, H, win, C) per-slot prior features (content at
+        columns [y1, y1+length)).
+      x1, y1, lengths: (B, S) int32 window geometry
+        (``models/srnet._window_geometry``).
+      gamma, beta: (2C,) affines of the GroupNorm over the virtual
+        concat([adain, lq]).
     Returns:
-      y:   (B, H, W, 2C) = swish(group_norm(concat([adain, lq_f]))),
-           masked — the fuse block's conv1 input.
-      xin: (B, H, W, 2C) = concat([adain, lq_f]) masked — the 1x1 skip
-           input.
+      y:   (B, S, H, win, 2C) = swish(group_norm(concat)), masked.
+      xin: (B, S, H, win, 2C) = concat([adain, lq_window]) masked.
     """
     if interpret is None:
         interpret = FORCE_INTERPRET
-    bs, h, w, c = prior_f.shape
+    b, h, width, c = canvas.shape
+    s = priors.shape[1]
+    win = priors.shape[3]
     assert c % _LANES == 0 and _LANES % cpg == 0
+    assert width % _ALIGN == 0 and win % _ALIGN == 0
+    assert width >= win + _ALIGN
     nct = c // _LANES
 
-    grid = (bs, 2 * nct)
     kernel = functools.partial(_adain_gn_kernel, nct=nct, cpg=cpg,
-                               eps_gn=eps_gn, eps_adain=eps_adain)
+                               eps_gn=eps_gn, eps_adain=eps_adain,
+                               width=width, win=win)
+    out_spec = pl.BlockSpec((1, 1, h, win, _LANES),
+                            lambda bb, ss, ct, *_: (bb, ss, 0, 0, ct),
+                            memory_space=pltpu.VMEM)
     y, xin = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
+            num_scalar_prefetch=3,
+            grid=(b, s, 2 * nct),
             in_specs=[
-                # prior: only used for ct < nct; afterwards keep mapping the
+                pl.BlockSpec(memory_space=pl.ANY),   # canvas
+                # prior: used for ct < nct; afterwards keep mapping the
                 # last block so the pipeline skips the fetch
-                pl.BlockSpec((1, h, w, _LANES),
-                             lambda b, ct, *_: (b, 0, 0,
-                                                jnp.minimum(ct, nct - 1)),
+                pl.BlockSpec((1, 1, h, win, _LANES),
+                             lambda bb, ss, ct, *_:
+                             (bb, ss, 0, 0, jnp.minimum(ct, nct - 1)),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, w, _LANES),
-                             lambda b, ct, *_: (b, 0, 0, ct % nct),
+                pl.BlockSpec((1, _LANES), lambda bb, ss, ct, *_: (0, ct),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _LANES), lambda b, ct, *_: (0, ct),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _LANES), lambda b, ct, *_: (0, ct),
+                pl.BlockSpec((1, _LANES), lambda bb, ss, ct, *_: (0, ct),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((1, h, w, _LANES),
-                             lambda b, ct, *_: (b, 0, 0, ct),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, w, _LANES),
-                             lambda b, ct, *_: (b, 0, 0, ct),
-                             memory_space=pltpu.VMEM),
+            out_specs=[out_spec, out_spec],
+            scratch_shapes=[
+                pltpu.VMEM((h, win + _ALIGN, _LANES), canvas.dtype),
+                pltpu.VMEM((nct, h, win, _LANES), canvas.dtype),
+                pltpu.SemaphoreType.DMA(()),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bs, h, w, 2 * c), prior_f.dtype),
-            jax.ShapeDtypeStruct((bs, h, w, 2 * c), prior_f.dtype),
+            jax.ShapeDtypeStruct((b, s, h, win, 2 * c), canvas.dtype),
+            jax.ShapeDtypeStruct((b, s, h, win, 2 * c), canvas.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), prior_f, lq_f,
-      gamma.reshape(1, -1).astype(prior_f.dtype),
-      beta.reshape(1, -1).astype(prior_f.dtype))
+    )(x1.astype(jnp.int32), y1.astype(jnp.int32),
+      lengths.astype(jnp.int32), canvas, priors,
+      gamma.reshape(1, -1).astype(canvas.dtype),
+      beta.reshape(1, -1).astype(canvas.dtype))
     return y, xin
 
 

@@ -33,28 +33,51 @@ class TestKernels:
              lengths[:, None, None]).astype(jnp.float32)
         return m[:, None, :, :]  # (B, 1, W, 1)
 
-    def test_adain_gn_concat(self, rng):
-        B, H, W, C = self.B, self.H, self.W, self.C
-        prior = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
-        lq = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
-        lengths = jnp.asarray([W, 20, 1], jnp.int32)
+    def test_adain_gn_windows(self, rng):
+        from marconet_tpu.models.srnet import (_gather_windows,
+                                               _window_geometry)
+
+        B, S, C, HW = 2, 4, 128, 8
+        H, WIN, WIDTH = 16, 2 * HW, 128
+        canvas = jnp.asarray(rng.standard_normal((B, H, WIDTH, C)),
+                             jnp.float32)
+        priors = jnp.asarray(rng.standard_normal((B, S, H, WIN, C)),
+                             jnp.float32)
+        locs = np.zeros((B, 2 * S), np.float32)
+        locs[:, 0::2] = [0.01, 0.3, 0.62, 0.99]  # both truncated edges
+        locs[:, 1::2] = 0.05
+        locs = jnp.asarray(locs)
         gamma = jnp.asarray(rng.standard_normal(2 * C), jnp.float32)
         beta = jnp.asarray(rng.standard_normal(2 * C), jnp.float32)
 
-        m = self._mask(lengths)
-        lq_m, prior_m = lq * m, prior * m
-        adain = adaptive_instance_norm(prior_m, lq_m, prior_mask=m,
+        x1, L, y1 = _window_geometry(locs, HW, WIDTH)
+
+        # XLA reference: pad + gather + crop + mask + adain + concat + gn
+        padded = jnp.pad(canvas, ((0, 0), (0, 0), (0, WIN), (0, 0)))
+        lq_win = _gather_windows(padded, x1, WIN)
+        prior_pad = jnp.pad(priors,
+                            ((0, 0), (0, 0), (0, 0), (0, WIN), (0, 0)))
+        crop = lambda p, s: jax.lax.dynamic_slice_in_dim(p, s, WIN, axis=1)
+        prior_win = jax.vmap(jax.vmap(crop))(prior_pad, y1)
+        cols = jnp.arange(WIN)
+        m = (cols[None, :, None] <
+             L.reshape(-1)[:, None, None]).astype(jnp.float32)[:, None]
+        lq_f = lq_win.reshape(B * S, H, WIN, C) * m
+        prior_f = prior_win.reshape(B * S, H, WIN, C) * m
+        adain = adaptive_instance_norm(prior_f, lq_f, prior_mask=m,
                                        lq_mask=m)
-        xin_ref = jnp.concatenate([adain, lq_m], axis=-1)
+        xin_ref = jnp.concatenate([adain, lq_f], axis=-1)
         y_ref = swish(group_norm(xin_ref, gamma, beta, (2 * C) // 32,
                                  mask=m))
 
-        y, xin = pallas_sft.adain_gn_concat(prior, lq, lengths, gamma,
-                                            beta, interpret=True)
-        np.testing.assert_allclose(np.asarray(xin), np.asarray(xin_ref),
-                                   atol=2e-5)
-        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
-                                   atol=2e-4)
+        y, xin = pallas_sft.adain_gn_windows(canvas, priors, x1, y1, L,
+                                             gamma, beta, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(xin.reshape(B * S, H, WIN, 2 * C)),
+            np.asarray(xin_ref), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(y.reshape(B * S, H, WIN, 2 * C)),
+            np.asarray(y_ref), atol=2e-4)
 
     def test_gn_swish(self, rng):
         B, H, W, C = self.B, self.H, self.W, self.C
