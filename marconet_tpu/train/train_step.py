@@ -77,6 +77,11 @@ class TrainConfig(NamedTuple):
     # architecture width multiplier (1.0 = exact reference channel plans;
     # reduced widths share the identical code path — dryrun/CI tiers)
     width: float = 1.0
+    # selective freezing — the reference's module-level stop_update_*
+    # toggles (``Train/tspgan/archs/textvit_arch.py:6-10,100-134``,
+    # ``tsp_arch.py:292-294``), expressed as config: parameter groups
+    # whose optimizer updates are masked to zero. See _FREEZE_GROUPS.
+    freeze: Tuple[str, ...] = ()
 
 
 class TrainBatch(NamedTuple):
@@ -141,6 +146,64 @@ def _adam(lr: float, ratio: float, milestones, gamma):
     return optax.adam(sched, b1=0.0, b2=0.99 ** ratio, eps=1e-8)
 
 
+# Freeze-group name -> (net, frozen param-path prefixes). Mirrors the
+# reference's module-level stop_update_* switches (all default-off there
+# too): stop_update_resnet (tsp_arch.py:292-294), stop_update_backbone /
+# _cls / _locs / _w / to_patch_embedding (textvit_arch.py:6-10,100-134,
+# 205-223). An empty prefix freezes the whole net.
+_FREEZE_GROUPS = {
+    "encoder.resnet": ("encoder", ("resnet",)),
+    "encoder.patch_embed": ("encoder", ("vit/patch_embed",)),
+    "encoder.backbone": ("encoder", ("vit/shared_0", "vit/shared_1")),
+    "encoder.cls": ("encoder", ("vit/branch_cls", "vit/head_cls_norm",
+                                "vit/head_cls_proj")),
+    "encoder.locs": ("encoder", ("vit/seq_to_maxlen", "vit/branch_locs",
+                                 "vit/head_locs_norm", "vit/head_locs_fc1",
+                                 "vit/head_locs_fc2")),
+    "encoder.w": ("encoder", ("vit/branch_w", "vit/w_seq_pool",
+                              "vit/head_w_norm", "vit/head_w_proj")),
+    "encoder": ("encoder", ("",)),
+    "prior": ("prior", ("",)),
+    "srnet": ("srnet", ("",)),
+    "net_d": ("net_d", ("",)),
+    "net_srd": ("net_srd", ("",)),
+}
+
+
+def _freeze_prefixes(freeze) -> Dict[str, Tuple[str, ...]]:
+    """Net name -> frozen param-path prefixes, validated."""
+    out: Dict[str, Tuple[str, ...]] = {}
+    for name in freeze or ():
+        if name not in _FREEZE_GROUPS:
+            raise ValueError(
+                f"unknown freeze group {name!r}; valid: "
+                f"{sorted(_FREEZE_GROUPS)}")
+        net, prefixes = _FREEZE_GROUPS[name]
+        out[net] = out.get(net, ()) + prefixes
+    return out
+
+
+def _masked_for_freeze(tx, prefixes: Tuple[str, ...]):
+    """Wrap an optax transform to zero updates under frozen prefixes.
+
+    ``optax.multi_transform`` (not ``optax.masked`` — masked passes the
+    raw gradient through untouched for out-of-mask leaves).
+    """
+    if not prefixes:
+        return tx
+
+    def labels(params):
+        def leaf_label(path, _):
+            p = "/".join(str(getattr(k, "key", k)) for k in path)
+            frozen = any(p.startswith(pre) or pre == ""
+                         for pre in prefixes)
+            return "frozen" if frozen else "train"
+        return jax.tree_util.tree_map_with_path(leaf_label, params)
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels)
+
+
 # ---------------------------------------------------------------------------
 # trainer
 # ---------------------------------------------------------------------------
@@ -179,6 +242,7 @@ class MARCONetTrainer:
         c = config
         g_ratio = c.g_reg_every / (c.g_reg_every + 1)
         d_ratio = c.d_reg_every / (c.d_reg_every + 1)
+        frozen = _freeze_prefixes(c.freeze)
         self.tx = {
             "encoder": _adam(c.lr_encoder, g_ratio, c.milestones, c.lr_gamma),
             "prior": _adam(c.lr_g, g_ratio, c.milestones, c.lr_gamma),
@@ -186,6 +250,8 @@ class MARCONetTrainer:
             "net_d": _adam(c.lr_d, d_ratio, c.milestones, c.lr_gamma),
             "net_srd": _adam(c.lr_srd, d_ratio, c.milestones, c.lr_gamma),
         }
+        self.tx = {name: _masked_for_freeze(tx, frozen.get(name, ()))
+                   for name, tx in self.tx.items()}
 
     def _make_disc(self, update_stats: bool) -> UNetDiscriminatorSN:
         return UNetDiscriminatorSN(num_feat=self._disc_feat,

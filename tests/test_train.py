@@ -186,6 +186,49 @@ class TestTrainStepReduced:
             after = jax.tree.leaves(getattr(new_state, name)["params"])[0]
             assert not np.allclose(before, np.asarray(after)), name
 
+    def test_freeze_groups_mask_updates(self, rng):
+        """Selective freezing (reference stop_update_* toggles): frozen
+        parameter groups receive zero optimizer updates; everything else
+        still trains. Single-device, batch 2, reduced width."""
+        cfg = TrainConfig(freeze=("encoder.cls", "prior"))
+        trainer = MARCONetTrainer(cfg, width=self.WIDTH)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+
+        def snap(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, x: (tuple(str(getattr(k, "key", k)) for k in p),
+                              np.asarray(x)), tree)
+
+        enc_before = jax.tree_util.tree_flatten_with_path(
+            state.encoder["params"])[0]
+        pri_before = jax.tree.leaves(state.prior["params"])
+        batch = TrainBatch(**{k: jnp.asarray(v)
+                              for k, v in tiny_batch(rng, b=2).items()})
+        step = jax.jit(trainer.train_step)
+        new_state, _ = step(state, batch)
+
+        enc_after = jax.tree_util.tree_flatten_with_path(
+            new_state.encoder["params"])[0]
+        changed_frozen = changed_rest = 0
+        for (path, before), (_, after) in zip(enc_before, enc_after):
+            p = "/".join(str(getattr(k, "key", k)) for k in path)
+            frozen = any(p.startswith(pre) for pre in (
+                "vit/branch_cls", "vit/head_cls_norm", "vit/head_cls_proj"))
+            same = np.array_equal(np.asarray(before), np.asarray(after))
+            if frozen:
+                assert same, f"frozen param {p} changed"
+            elif not same:
+                changed_rest += 1
+        assert changed_rest > 0, "unfrozen encoder params did not train"
+        for before, after in zip(pri_before,
+                                 jax.tree.leaves(new_state.prior["params"])):
+            assert np.array_equal(np.asarray(before), np.asarray(after))
+
+    def test_freeze_unknown_group_raises(self):
+        with pytest.raises(ValueError, match="unknown freeze group"):
+            MARCONetTrainer(TrainConfig(freeze=("encoder.nope",)),
+                            width=self.WIDTH)
+
     def test_visual_forward_shapes(self, rng):
         trainer = MARCONetTrainer(TrainConfig(), width=self.WIDTH)
         state = trainer.init_state(jax.random.PRNGKey(0))
