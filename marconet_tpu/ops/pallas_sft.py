@@ -8,13 +8,14 @@ the overlap-resolving write-back — is a chain of HBM-bound passes that XLA
 cannot fuse into single reads. These kernels collapse each chain into one
 VMEM pass:
 
-``adain_gn_concat``
-    windows in -> masked AdaIN (prior renormalized to LQ stats,
-    ``networks.py:518-533``) + masked GroupNorm + swish of the virtual
-    ``concat([adain, lq])`` tensor, emitted directly as the two tensors the
-    fuse ResTextBlock consumes (the normed/activated input of ``conv1`` and
-    the raw concat for the 1x1 skip) — one read of each input, one write of
-    each output, statistics in f32.
+``adain_gn_windows``
+    canvas + per-slot priors in -> window gather (aligned DMA + exact
+    column-shift matmul), prior-crop alignment, masked AdaIN (prior
+    renormalized to LQ stats, ``networks.py:518-533``) + masked GroupNorm
+    + swish of the virtual ``concat([adain, lq])`` tensor, emitted
+    directly as the two tensors the fuse ResTextBlock consumes (the
+    normed/activated input of ``conv1`` and the raw concat for the 1x1
+    skip) — statistics in f32.
 
 ``gn_swish``
     masked GroupNorm + swish in one pass (the fuse block's ``norm2``).
