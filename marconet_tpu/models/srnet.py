@@ -291,9 +291,11 @@ class StructurePriorSRNet(nn.Module):
                         dtype=dt, name="sft_64")(s64, prior64, locs,
                                                  char_mask)
 
-        # final x2 to 128 x 2048
+        # final x2 to 128 x 2048; the upsample is folded into final_b
+        # (exact composition — ops/resize.conv3x3_after_upsample2x)
         x = leaky_relu(sn(d // 2, name="final_a")(s64))
-        x = leaky_relu(sn(d // 4, name="final_b")(upsample2x_bilinear(x)))
+        x = leaky_relu(SNConv(d // 4, update_stats=us, dtype=dt,
+                              pre_upsample=True, name="final_b")(x))
         x = ResTextBlockV2(d // 4, update_stats=us, dtype=dt,
                            name="final_res")(x)
         x = sn(3, name="final_out")(x)

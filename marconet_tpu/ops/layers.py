@@ -200,6 +200,10 @@ class SNConv(nn.Module):
     padding: Union[str, Sequence[Tuple[int, int]]] = ((1, 1), (1, 1))
     use_bias: bool = True
     update_stats: bool = False
+    # fold a preceding x2 bilinear upsample into this conv (exact; one
+    # dense input-dilated conv instead of the bandwidth-bound depthwise
+    # upsample + conv — see ops/resize.conv3x3_after_upsample2x)
+    pre_upsample: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -242,12 +246,17 @@ class SNConv(nn.Module):
         sigma = jnp.dot(u, w_mat @ v)
         w = (kernel / sigma).astype(self.dtype)
 
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w,
-            window_strides=self.strides,
-            padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.pre_upsample:
+            assert self.kernel_size == (3, 3) and self.strides == (1, 1)
+            from marconet_tpu.ops.resize import conv3x3_after_upsample2x
+            y = conv3x3_after_upsample2x(x.astype(self.dtype), w)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w,
+                window_strides=self.strides,
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(self.dtype)

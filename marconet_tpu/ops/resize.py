@@ -78,6 +78,69 @@ def upsample2x_matmul(x: jax.Array) -> jax.Array:
     return y
 
 
+def compose_bilinear_conv_kernel(k3: jax.Array) -> jax.Array:
+    """(3,3,I,O) conv kernel -> (6,6,I,O) kernel equal to
+    ``conv3x3(zero-pad 1, upsample2x_bilinear(x))`` as a single dense
+    input-dilated convolution of the edge-padded input.
+
+    ``K6[ah+th, aw+tw] += k3[ah, aw] * bilinear4x4[th, tw]`` — the linear
+    composition of the two convolutions (interior-exact; the output's
+    1-px border needs strip corrections, see ``conv3x3_after_upsample2x``).
+    """
+    k4 = jnp.asarray(_KERNEL_2D, k3.dtype)
+    k6 = jnp.zeros((6, 6) + k3.shape[2:], k3.dtype)
+    for ah in range(3):
+        for aw in range(3):
+            k6 = k6.at[ah:ah + 4, aw:aw + 4].add(
+                k3[ah, aw][None, None] * k4[:, :, None, None])
+    return k6
+
+
+def conv3x3_after_upsample2x(x: jax.Array, k3: jax.Array) -> jax.Array:
+    """Exactly ``conv3x3(same-pad, upsample2x_bilinear(x))``, fused.
+
+    The depthwise bilinear upsample runs at ~1/8 HBM bandwidth on TPU and
+    its 1 GB-scale intermediate is pure traffic; composing it with the
+    following conv into one dense ``lhs_dilation=2`` convolution (kernel
+    from ``compose_bilinear_conv_kernel``) is measured ~2x faster at the
+    SR net's final_b shape (v5e; BENCH_NOTES.md). The composed conv is
+    interior-exact; the four 1-px output borders — where the conv's
+    zero padding of the *intermediate* differs from reading further into
+    the dilated input — are recomputed with thin slices of the exact
+    path and patched in.
+    """
+    b, h, w, ci = x.shape
+    k6 = compose_bilinear_conv_kernel(k3)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        xp, k6, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))    # (B, 2H, 2W, O)
+
+    def conv(v, pad_h, pad_w):
+        return jax.lax.conv_general_dilated(
+            v, k3, (1, 1), (pad_h, pad_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    co = k3.shape[-1]
+    # top/bottom rows: conv over [zero row, up rows 0..1] (and mirrored)
+    up_t = upsample2x_bilinear(x[:, :2])[:, :2]
+    up_b = upsample2x_bilinear(x[:, -2:])[:, -2:]
+    zrow = jnp.zeros_like(up_t[:, :1])
+    top = conv(jnp.concatenate([zrow, up_t], 1), (0, 0), (1, 1))
+    bot = conv(jnp.concatenate([up_b, zrow], 1), (0, 0), (1, 1))
+    out = out.at[:, :1].set(top)
+    out = out.at[:, -1:].set(bot)
+    # left/right columns (full height, so the corners match too)
+    up_l = upsample2x_bilinear(x[:, :, :2])[:, :, :2]
+    up_r = upsample2x_bilinear(x[:, :, -2:])[:, :, -2:]
+    zcol = jnp.zeros_like(up_l[:, :, :1])
+    left = conv(jnp.concatenate([zcol, up_l], 2), (1, 1), (0, 0))
+    right = conv(jnp.concatenate([up_r, zcol], 2), (1, 1), (0, 0))
+    out = out.at[:, :, :1].set(left)
+    out = out.at[:, :, -1:].set(right)
+    return out
+
+
 def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """General bilinear resize (half-pixel centers) of an NHWC tensor."""
     b, h, w, c = x.shape

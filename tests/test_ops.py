@@ -173,3 +173,32 @@ def test_snconv_power_iteration_converges(rng):
     v = np.asarray(state["spectral"]["v"])
     sigma = u @ wmat @ v
     np.testing.assert_allclose(sigma, true_sigma, rtol=1e-3)
+
+
+class TestComposedUpsampleConv:
+    def test_matches_upsample_then_conv(self, rng):
+        from marconet_tpu.ops.resize import (conv3x3_after_upsample2x,
+                                             upsample2x_bilinear)
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 12, 5)), jnp.float32)
+        k3 = jnp.asarray(rng.standard_normal((3, 3, 5, 7)) * 0.2,
+                         jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            upsample2x_bilinear(x), k3, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = conv3x3_after_upsample2x(x, k3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_snconv_pre_upsample(self, rng):
+        from marconet_tpu.ops.layers import SNConv
+        from marconet_tpu.ops.resize import upsample2x_bilinear
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 12, 6)), jnp.float32)
+        plain = SNConv(4)
+        fused = SNConv(4, pre_upsample=True)
+        params = plain.init(jax.random.PRNGKey(0), upsample2x_bilinear(x))
+        ref = plain.apply(params, upsample2x_bilinear(x))
+        out = fused.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
