@@ -48,6 +48,15 @@ def test_upsample2x_bilinear_matches_torch(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_upsample2x_matmul_matches_torch(rng):
+    from marconet_tpu.ops.resize import upsample2x_matmul
+
+    x = rng.standard_normal((2, 5, 11, 3), dtype=np.float32)
+    got = np.asarray(upsample2x_matmul(jnp.asarray(x)))
+    want = oracle.upsample2x_bilinear_nhwc(x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("fused", [False, True])
 def test_equal_linear(rng, fused):
     x = rng.standard_normal((3, 24), dtype=np.float32)
