@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Micro-benchmark of the SFT window path's pieces (the SR stage's cost).
 
+NOTE: see tools/bench_srnet_parts.py for whole-part attribution against
+FLOP floors; each chained program here carries ~1-3.5 ms of remote
+dispatch overhead (BENCH_NOTES.md).
+
 Times, as separate chained jit programs at the bench shapes
 (batch 16, 8 slots, 64-high scale unless overridden):
   gather    — window extraction from the padded canvas
