@@ -108,9 +108,14 @@ def _find_prefix(sd: StateDict, marker: str) -> str:
     return cands.pop()
 
 
-def convert_modelscope_ocr(sd: StateDict
+def convert_modelscope_ocr(sd: StateDict, num_heads: Optional[int] = None
                            ) -> Tuple[Dict[str, Any], OCRConfig]:
-    """ModelScope ConvNextViT state dict -> (variables, OCRConfig)."""
+    """ModelScope ConvNextViT state dict -> (variables, OCRConfig).
+
+    ``num_heads``: the true attention head count (exported by
+    ``tools/export_ocr_sd.py`` into the manifest's ``__meta__``); when
+    absent, falls back to the timm 64-wide-head convention.
+    """
     t = _Tracker(sd)
     cp = _find_prefix(sd, "downsample_layers")
     vp = _find_prefix(sd, "blocks.0.norm1")
@@ -203,10 +208,12 @@ def convert_modelscope_ocr(sd: StateDict
     cfg = OCRConfig(
         depths=tuple(depths), dims=tuple(dims),
         vit_depth=depth, vit_dim=vit_dim,
-        # head count is not recoverable from shapes; timm ViTs use
-        # 64-wide heads — the attention math is head-count invariant up
-        # to reshaping, but we pin the convention for clarity
-        vit_heads=max(1, vit_dim // 64),
+        # head count is NOT recoverable from tensor shapes, and attention
+        # output DOES depend on it (softmax is per-head): a checkpoint
+        # trained with a different count would produce wrong logits.
+        # Prefer the true count from the export manifest's __meta__;
+        # fall back to the timm 64-wide-head convention.
+        vit_heads=num_heads if num_heads else max(1, vit_dim // 64),
         vit_mlp_ratio=mlp_hidden / vit_dim,
         num_classes=head_w.shape[0],
         blank_index=0,
@@ -214,6 +221,10 @@ def convert_modelscope_ocr(sd: StateDict
         use_vit_proj=use_proj,
         cnn_final_norm=cnn_final_norm,
         layer_scale_init=layer_scale,
+        # canonical sequence length: the checkpoint's pos_embed is fixed
+        # at this many tokens; ConvNextViT interpolates it for other
+        # segment widths (see models.convnext_ocr.resize_pos_embed)
+        seq_len=pos.shape[-2],
     )
     t.assert_all_consumed(ignore=(
         r"num_batches_tracked",
@@ -235,19 +246,47 @@ def load_vocab(path: str) -> str:
 
 
 def load_ocr_checkpoint(path: str) -> Tuple[Dict[str, Any], OCRConfig]:
-    """Load an exported ModelScope OCR state dict (.pth/.pt file)."""
+    """Load an exported ModelScope OCR state dict (.pth/.pt file).
+
+    Only plain tensor state dicts are accepted (``weights_only=True``).
+    Arbitrary-pickle checkpoints are refused unless the user explicitly
+    opts in with ``MARCONET_UNSAFE_TORCH_LOAD=1`` — a passively
+    discovered third-party file must never execute pickle code silently.
+
+    A ``ocr_key_manifest.json`` next to the checkpoint (written by
+    ``tools/export_ocr_sd.py``) supplies the true attention head count
+    via its ``__meta__.num_heads`` entry.
+    """
+    import json
+    import os
+
     import torch
 
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception as e:
+        if os.environ.get("MARCONET_UNSAFE_TORCH_LOAD") == "1":
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        else:
+            raise ConversionError(
+                f"{path} is not a plain tensor state dict "
+                f"(weights_only load failed: {e}). Re-export it with "
+                "tools/export_ocr_sd.py, or set "
+                "MARCONET_UNSAFE_TORCH_LOAD=1 to allow unpickling a "
+                "file you trust.") from e
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
     sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v,
                         np.float32)
           for k, v in ckpt.items()}
-    return convert_modelscope_ocr(sd)
+
+    num_heads = None
+    manifest = os.path.join(os.path.dirname(path), "ocr_key_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as f:
+            meta = json.load(f).get("__meta__", {})
+        num_heads = meta.get("num_heads")
+    return convert_modelscope_ocr(sd, num_heads=num_heads)
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,22 @@ class OCRConfig:
     use_vit_proj: Optional[bool] = None
     cnn_final_norm: bool = False           # trailing LN on the trunk
     layer_scale_init: float = 1e-6
+    # canonical ViT sequence length (incl. cls token), from the loaded
+    # checkpoint's pos_embed. When set, ``pos_embed`` is ALWAYS declared
+    # at this length and linearly interpolated to the input's token count
+    # — so a fixed-length checkpoint works at any segment width (the
+    # reference's ModelScope pipeline accepts arbitrary widths,
+    # ``utils/yolo_ocr_xloc.py:90``). None = declare by input shape
+    # (weight-free/trainable use).
+    seq_len: Optional[int] = None
+
+    @property
+    def canonical_width(self) -> Optional[int]:
+        """Input width whose token count matches ``seq_len`` exactly
+        (stem stride 4: W/4 frames + optional cls token)."""
+        if self.seq_len is None:
+            return None
+        return 4 * (self.seq_len - (1 if self.use_cls_token else 0))
 
 
 class ConvNeXtBlock(nn.Module):
@@ -131,6 +147,24 @@ class ConvNeXtTrunk(nn.Module):
         return x  # (B, 32/32=1, W/4, dims[-1])
 
 
+def resize_pos_embed(pos, n_tokens: int, use_cls_token: bool):
+    """Linearly interpolate a (1, L, D) positional embedding to
+    ``n_tokens`` entries, keeping the cls slot (if any) uninterpolated —
+    the standard ViT variable-resolution adaptation. Identity when the
+    lengths already match."""
+    if pos.shape[1] == n_tokens:
+        return pos
+    cls_part = None
+    if use_cls_token:
+        cls_part, pos = pos[:, :1], pos[:, 1:]
+        n_tokens -= 1
+    pos = jax.image.resize(pos, (1, n_tokens, pos.shape[-1]),
+                           method="linear")
+    if cls_part is not None:
+        pos = jnp.concatenate([cls_part, pos], axis=1)
+    return pos
+
+
 class ViTBlock(nn.Module):
     """Standard pre-norm ViT encoder block (timm convention: qkv fused,
     biases on q/k/v and proj — matches the ViTSTR/DeiT weights)."""
@@ -166,7 +200,10 @@ class ViTBlock(nn.Module):
 class ConvNextViT(nn.Module):
     """ConvNeXt trunk -> frame sequence -> ViT encoder -> CTC logits.
 
-    Input (B, 32, W, 3) in [0, 1]; output (B, W/4, num_classes).
+    Input (B, 32, W, 3) in [-1, 1] (i.e. ``(x/255 - 0.5) / 0.5``, the
+    normalization ``CharacterFrontend.recognize_segment`` applies and
+    ``tools/export_ocr_sd.py`` records in its manifest's ``__meta__``);
+    output (B, W/4, num_classes).
     """
 
     config: OCRConfig = OCRConfig()
@@ -195,10 +232,12 @@ class ConvNextViT(nn.Module):
             seq = jnp.concatenate(
                 [jnp.broadcast_to(cls.astype(seq.dtype),
                                   (b, 1, cfg.vit_dim)), seq], axis=1)
+        pos_len = cfg.seq_len if cfg.seq_len is not None else seq.shape[1]
         pos = self.param("pos_embed",
                          nn.initializers.normal(0.02),
-                         (1, seq.shape[1], cfg.vit_dim))
-        seq = seq + pos.astype(seq.dtype)
+                         (1, pos_len, cfg.vit_dim))
+        seq = seq + resize_pos_embed(pos.astype(seq.dtype), seq.shape[1],
+                                     cfg.use_cls_token)
         for i in range(cfg.vit_depth):
             seq = ViTBlock(cfg.vit_heads, cfg.vit_mlp_ratio,
                            dtype=self.dtype, name=f"block{i}")(seq)

@@ -89,6 +89,34 @@ def mask_segment(img: np.ndarray, boxes: Sequence[Sequence[int]],
     return (seg * alpha + mean_img * (1 - alpha)).astype(np.uint8), idxs[0]
 
 
+def prepare_segment(segment_rgb: np.ndarray,
+                    canonical_width: Optional[int] = None) -> np.ndarray:
+    """Resize a masked segment to the recognizer's input geometry.
+
+    Height 32, aspect-preserving. With ``canonical_width`` (a loaded
+    checkpoint's fixed pos_embed geometry, ``OCRConfig.canonical_width``)
+    the output width is exactly that: narrower segments are edge-padded,
+    wider ones squeezed — one jit compile ever, and the checkpoint's
+    positional embedding is used verbatim. Without it (weight-free use)
+    the width is padded to a multiple of 64 to bound recompiles; the
+    model interpolates pos_embed as needed.
+    """
+    import cv2
+
+    seg = segment_rgb
+    h = seg.shape[0]
+    w = max(int(seg.shape[1] * 32 / h), 8)
+    if canonical_width is not None and w > canonical_width:
+        w = canonical_width
+    seg = cv2.resize(seg, (w, 32), interpolation=cv2.INTER_LINEAR)
+    target = canonical_width if canonical_width is not None \
+        else w + ((-w) % 64)
+    if target > seg.shape[1]:
+        seg = np.pad(seg, ((0, 0), (0, target - seg.shape[1]), (0, 0)),
+                     mode="edge")
+    return seg
+
+
 # filenames searched for the exported ModelScope recognizer
 # (tools/export_ocr_sd.py writes the first pair)
 _OCR_SD_FILES = ("ocr_convnext_sd.pth", "ocr_recognition_sd.pth",
@@ -206,7 +234,6 @@ class CharacterFrontend:
         return boxes[np.argsort(boxes[:, 0])]
 
     def recognize_segment(self, segment_rgb: np.ndarray) -> str:
-        import cv2
         import jax.numpy as jnp
 
         from marconet_tpu.alphabet import ALPHABET
@@ -214,14 +241,9 @@ class CharacterFrontend:
 
         if self._ocr is None:
             return ""
-        seg = segment_rgb
-        h = seg.shape[0]
-        w = max(int(seg.shape[1] * 32 / h), 8)
-        seg = cv2.resize(seg, (w, 32), interpolation=cv2.INTER_LINEAR)
-        # pad width to a bucket (multiple of 64) to bound recompiles
-        pad = (-seg.shape[1]) % 64
-        if pad:
-            seg = np.pad(seg, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        seg = prepare_segment(segment_rgb, self._ocr_cfg.canonical_width)
+        # normalization matches the export manifest's __meta__ contract
+        # (tools/export_ocr_sd.py) and the ConvNextViT docstring
         x = seg[None].astype(np.float32) / 255.0
         x = (x - 0.5) / 0.5
         logits = self._recognize(jnp.asarray(x))

@@ -43,6 +43,26 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     torch.save(sd, os.path.join(args.out, "ocr_convnext_sd.pth"))
     manifest = {k: list(v.shape) for k, v in sd.items()}
+
+    # true attention head count (NOT recoverable from tensor shapes, and
+    # attention output depends on it) + the preprocessing contract, so
+    # the zero-egress converter can assert both at load time
+    num_heads = None
+    for m in net.modules():
+        if hasattr(m, "num_heads"):
+            num_heads = int(m.num_heads)
+            break
+    manifest["__meta__"] = {
+        "num_heads": num_heads,
+        # marconet_tpu's recognize_segment applies exactly this:
+        # resize to height 32 (aspect-preserving), normalize
+        # (x/255 - 0.5) / 0.5 -> [-1, 1], RGB channel order. If the
+        # ModelScope preprocessor for this model differs, record the
+        # difference here and adjust CharacterFrontend.recognize_segment.
+        "input_range": "[-1,1] via (x/255-0.5)/0.5",
+        "input_height": 32,
+        "channel_order": "RGB",
+    }
     with open(os.path.join(args.out, "ocr_key_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, ensure_ascii=False)
 
