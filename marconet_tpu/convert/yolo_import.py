@@ -165,11 +165,26 @@ def load_yolo_checkpoint(path: str) -> Dict[str, Any]:
     Accepts a plain state dict, or an ultralytics bundle when the
     ``ultralytics`` package is importable.
     """
+    import importlib.util
+    import os
+
     import torch
 
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as e:
+        # ultralytics bundles are pickles of module objects; unpickling
+        # is only meaningful (and only possible) with the ultralytics
+        # package installed — treat its presence as deliberate opt-in.
+        # Anything else needs the explicit unsafe flag.
+        if (importlib.util.find_spec("ultralytics") is None
+                and os.environ.get("MARCONET_UNSAFE_TORCH_LOAD") != "1"):
+            raise RuntimeError(
+                f"{path} is not a plain tensor state dict (weights_only "
+                f"load failed: {e}). Export a state dict, install "
+                "ultralytics (needed to unpickle its bundles anyway), or "
+                "set MARCONET_UNSAFE_TORCH_LOAD=1 for a file you trust."
+            ) from e
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model" in ckpt and hasattr(
             ckpt["model"], "state_dict"):

@@ -77,31 +77,36 @@ def prepare_train_batch(gt: np.ndarray, ink_mask: np.ndarray,
       lq: (B, 32, 512, 3) in [-1,1].
     """
     b = gt.shape[0]
-    char_valid = np.zeros((b, MAX_CHARS), np.float32)
-    box_valid = np.zeros((b, MAX_CHARS), np.float32)
-    gt_chars = np.full((b, MAX_CHARS, CHAR_SIZE, CHAR_SIZE, 3), -1.0,
+    # slot count and canvas width come from the inputs: reduced-slot
+    # batches (dryrun/CI tiers) use gt width = n_chars * CHAR_SIZE with
+    # the identical code path
+    n_chars = labels.shape[1]
+    gt_w = gt.shape[2]
+    char_valid = np.zeros((b, n_chars), np.float32)
+    box_valid = np.zeros((b, n_chars), np.float32)
+    gt_chars = np.full((b, n_chars, CHAR_SIZE, CHAR_SIZE, 3), -1.0,
                        np.float32)
-    crop_idx = np.zeros((b, MAX_CHARS, CHAR_SIZE), np.int32)
-    crop_w0 = np.ones((b, MAX_CHARS, CHAR_SIZE), np.float32)
-    patch_valid = np.zeros((b, MAX_CHARS), np.float32)
+    crop_idx = np.zeros((b, n_chars, CHAR_SIZE), np.int32)
+    crop_w0 = np.ones((b, n_chars, CHAR_SIZE), np.float32)
+    patch_valid = np.zeros((b, n_chars), np.float32)
 
     for i in range(b):
         max_right = 0
-        for c in range(MAX_CHARS):
+        for c in range(n_chars):
             left = boxinfo_lr[i, 2 * c]
             right = boxinfo_lr[i, 2 * c + 1]
             has_box = (right - left) > 0.0
             if has_box:
                 box_valid[i, c] = 1.0
-                max_right = max(max_right, int(right * GT_WIDTH))
+                max_right = max(max_right, int(right * gt_w))
             if not has_box or labels[i, c] == BLANK_INDEX:
                 continue
             char_valid[i, c] = 1.0
-            l_px, r_px = int(left * GT_WIDTH), int(right * GT_WIDTH)
+            l_px, r_px = int(left * gt_w), int(right * gt_w)
             gt_chars[i, c] = glyph_canvas(ink_mask[i], l_px, r_px)
             center = int((l_px + r_px) / 2)
-            crop_idx[i, c], crop_w0[i, c] = _crop_taps(center)
-        n_patches = min(max_right // 128 + 1, MAX_CHARS)
+            crop_idx[i, c], crop_w0[i, c] = _crop_taps(center, width=gt_w)
+        n_patches = min(max_right // 128 + 1, n_chars)
         patch_valid[i, :n_patches] = 1.0
 
     return {

@@ -259,6 +259,9 @@ class TextContextEncoder(nn.Module):
 
     num_classes: int = 6736
     width: float = 1.0
+    # character-slot capacity (16 = the exact reference architecture;
+    # reduced counts share the identical code path — dryrun/CI tiers)
+    max_length: int = MAX_CHARS
     dtype: Dtype = jnp.float32
 
     @property
@@ -278,4 +281,5 @@ class TextContextEncoder(nn.Module):
         return TextViTHead(num_classes=self.num_classes, dim=dim,
                            mlp_dim=2 * dim,
                            dim_head=scaled_width(64, s),
+                           max_length=self.max_length,
                            dtype=self.dtype, name="vit")(feat)

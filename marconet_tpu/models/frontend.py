@@ -31,19 +31,34 @@ class FrontendResult:
     x_centers: List[int]
 
 
-def letterbox(img: np.ndarray, size: int = 640
+def letterbox(img: np.ndarray, size: int = 640, auto: bool = True,
+              stride: int = 32
               ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
-    """Aspect-preserving resize + gray pad to (size, size)."""
+    """Ultralytics ``LetterBox``: aspect-preserving resize + gray-114 pad.
+
+    ``auto=True`` (the reference's effective mode — a single-image
+    ``yolo_model([img_path])`` call runs the predictor with
+    ``auto = same_shapes and model.pt``) pads each side only up to the
+    next ``stride`` multiple instead of the full (size, size) square;
+    padding is split center-wise with ultralytics' ``round(dw -/+ 0.1)``
+    rule. Returns (padded image, scale r, (top, left) pad offsets).
+    """
     import cv2
 
     h, w = img.shape[:2]
     r = min(size / h, size / w)
-    nh, nw = int(round(h * r)), int(round(w * r))
-    resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    top = (size - nh) // 2
-    left = (size - nw) // 2
-    out = np.full((size, size, 3), 114, np.uint8)
-    out[top:top + nh, left:left + nw] = resized
+    nw, nh = int(round(w * r)), int(round(h * r))
+    dw, dh = size - nw, size - nh
+    if auto:
+        dw, dh = dw % stride, dh % stride
+    dw /= 2
+    dh /= 2
+    resized = img if (w, h) == (nw, nh) else cv2.resize(
+        img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    out = cv2.copyMakeBorder(resized, top, bottom, left, right,
+                             cv2.BORDER_CONSTANT, value=(114, 114, 114))
     return out, r, (top, left)
 
 

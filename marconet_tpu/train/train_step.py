@@ -215,19 +215,24 @@ class MARCONetTrainer:
     def __init__(self, config: TrainConfig = TrainConfig(),
                  dtype=jnp.float32, num_classes: int = BLANK_INDEX + 1,
                  lpips_variables: Optional[Dict[str, Any]] = None,
-                 width: Optional[float] = None):
+                 width: Optional[float] = None,
+                 max_chars: int = MAX_CHARS):
         """``width`` scales every net's channel plan (1.0 = the exact
-        reference architecture; defaults to ``config.width``). Reduced
-        widths run the identical code path with fewer channels — used by
-        the multi-chip CPU dryrun and the fast CI tier, where full-size
-        XLA:CPU compiles are infeasible.
+        reference architecture; defaults to ``config.width``) and
+        ``max_chars`` the character-slot capacity (16 = exact; the GT
+        canvas is ``max_chars * 128`` wide, the LQ input a quarter of
+        that). Reduced tiers run the identical code path with fewer
+        channels/slots — used by the multi-chip CPU dryrun and the fast
+        CI tier, where full-size XLA:CPU compiles are infeasible.
         """
         self.cfg = config
         self.dtype = dtype
         width = config.width if width is None else width
         self.width = width
+        self.max_chars = max_chars
         self.encoder = TextContextEncoder(num_classes=num_classes,
-                                          width=width, dtype=dtype)
+                                          width=width, dtype=dtype,
+                                          max_length=max_chars)
         self.prior = StructurePriorGenerator(num_classes=num_classes,
                                              style_dim=self.encoder.w_dim,
                                              width=width, dtype=dtype)
@@ -263,16 +268,17 @@ class MARCONetTrainer:
     def init_state(self, key, lpips_key=None) -> TrainState:
         k = jax.random.split(key, 6)
         ch = self.prior.channels
-        lq = jnp.zeros((1, 32, 512, 3), self.dtype)
+        n = self.max_chars
+        lq = jnp.zeros((1, 32, 32 * n, 3), self.dtype)
         enc = self.encoder.init(k[0], lq)
         pri = self.prior.init(
             k[1], jnp.zeros((1, self.encoder.w_dim), self.dtype),
             jnp.zeros((1,), jnp.int32))
         srn = self.srnet.init(
             k[2], lq,
-            jnp.zeros((1, MAX_CHARS, 64, 64, ch[64]), self.dtype),
-            jnp.zeros((1, MAX_CHARS, 32, 32, ch[32]), self.dtype),
-            jnp.zeros((1, 2 * MAX_CHARS), self.dtype))
+            jnp.zeros((1, n, 64, 64, ch[64]), self.dtype),
+            jnp.zeros((1, n, 32, 32, ch[32]), self.dtype),
+            jnp.zeros((1, 2 * n), self.dtype))
         char = jnp.zeros((1, 128, 128, 3), self.dtype)
         d = self.net_d.init(k[3], char)
         srd = self.net_srd.init(k[4], jnp.concatenate([char, char], -1))
@@ -297,7 +303,7 @@ class MARCONetTrainer:
         with frozen spectral stats. Returns device arrays for
         ``marconet_tpu.train.visuals.build_visual_grids``."""
         b = batch.lq.shape[0]
-        n = MAX_CHARS
+        n = self.max_chars
         logits, locs_lr, w = self.encoder.apply(
             {"params": state.encoder["params"]}, batch.lq)
         pred_cw = L.lr_to_center_width(locs_lr)
@@ -329,7 +335,7 @@ class MARCONetTrainer:
         metrics = {}
         enc_p, pri_p, srn_p = g_params
         b = batch.lq.shape[0]
-        n = MAX_CHARS
+        n = self.max_chars
 
         # 1. encoder
         logits, locs_lr, w = self.encoder.apply({"params": enc_p}, batch.lq)
@@ -450,7 +456,7 @@ class MARCONetTrainer:
                    batch: TrainBatch) -> Tuple[TrainState, Dict[str, Any]]:
         cfg = self.cfg
         b = batch.lq.shape[0]
-        n = MAX_CHARS
+        n = self.max_chars
 
         # ---- phase G: encoder + prior + SR -----------------------------
         g_params = (state.encoder["params"], state.prior["params"],

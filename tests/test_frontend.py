@@ -371,12 +371,46 @@ class TestLegacyOCR:
 
 
 class TestMasking:
-    def test_letterbox_roundtrip(self):
-        img = np.zeros((100, 400, 3), np.uint8)
-        out, r, (top, left) = letterbox(img, 640)
-        assert out.shape == (640, 640, 3)
-        assert abs(r - 1.6) < 1e-6
-        assert top == (640 - 160) // 2
+    def test_letterbox_matches_ultralytics_formula(self):
+        """Pin geometry against a literal transcription of ultralytics
+        ``LetterBox.__call__`` (resize rounding, stride-auto padding,
+        round(d -/+ 0.1) split) for both auto modes across odd sizes."""
+        import cv2
+
+        def oracle(img, size=640, auto=True, stride=32):
+            h, w = img.shape[:2]
+            r = min(size / h, size / w)
+            new_unpad = int(round(w * r)), int(round(h * r))
+            dw, dh = size - new_unpad[0], size - new_unpad[1]
+            if auto:
+                dw, dh = np.mod(dw, stride), np.mod(dh, stride)
+            dw /= 2
+            dh /= 2
+            if (w, h) != new_unpad:
+                img = cv2.resize(img, new_unpad,
+                                 interpolation=cv2.INTER_LINEAR)
+            top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+            left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+            return cv2.copyMakeBorder(img, top, bottom, left, right,
+                                      cv2.BORDER_CONSTANT,
+                                      value=(114, 114, 114)), r, (top, left)
+
+        rng = np.random.default_rng(0)
+        for (h, w) in ((100, 400), (64, 2000), (33, 517), (640, 640),
+                       (31, 1999), (200, 100)):
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            for auto in (True, False):
+                got, gr, (gt_, gl) = letterbox(img, 640, auto=auto)
+                want, wr, (wt, wl) = oracle(img, 640, auto=auto)
+                assert got.shape == want.shape, (h, w, auto)
+                assert (gr, gt_, gl) == (wr, wt, wl), (h, w, auto)
+                np.testing.assert_array_equal(got, want)
+
+    def test_letterbox_auto_is_stride_aligned(self):
+        img = np.zeros((64, 2000, 3), np.uint8)
+        out, r, (top, left) = letterbox(img, 640, auto=True)
+        assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+        assert out.shape[1] == 640 and out.shape[0] < 64
 
     def test_mask_segment_window(self):
         img = np.full((32, 300, 3), 200, np.uint8)
@@ -461,3 +495,27 @@ class TestPrepareSegment:
         seg = np.zeros((32, 100, 3), np.uint8)
         out = prepare_segment(seg)
         assert out.shape == (32, 128, 3)  # padded to the next 64-bucket
+
+
+class TestYOLOFullGraphOracle:
+    """Whole-forward parity vs a functional torch transcription of the
+    ultralytics graph (tests/yolo_oracle.py): pins backbone->neck->head
+    wiring, stride geometry and DFL decode — VERDICT r2 missing #3."""
+
+    def test_full_forward_matches_torch(self):
+        from marconet_tpu.convert.yolo_import import convert_yolo11
+        from marconet_tpu.models.yolo import YOLO11
+        from tests.yolo_oracle import fabricate_yolo_sd, torch_yolo11_forward
+
+        rng = np.random.default_rng(11)
+        sd = fabricate_yolo_sd(rng)
+        variables = jax.tree.map(jnp.asarray, convert_yolo11(sd))
+
+        x = rng.uniform(0, 1, (1, 64, 256, 3)).astype(np.float32)
+        got_b, got_s = jax.jit(YOLO11(nc=1).apply)(variables, jnp.asarray(x))
+        want_b, want_s = torch_yolo11_forward(sd, x)
+        assert got_b.shape == want_b.shape == (1, 32 * 8 + 16 * 4 + 8 * 2, 4)
+        np.testing.assert_allclose(np.asarray(got_s), want_s,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_b), want_b,
+                                   rtol=2e-4, atol=2e-2)

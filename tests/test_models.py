@@ -174,7 +174,7 @@ class TestPipeline:
         the suite's 8-virtual-device CPU flag XLA partitions intra-op
         parallelism differently per program, reassociating reductions —
         so the assertion allows float-noise-level differences."""
-        net = MARCONet(width=0.125)
+        net = MARCONet(width=0.0625)
         params = net.init(jax.random.PRNGKey(0))
         rng = np.random.default_rng(0)
         lq = jnp.asarray(rng.uniform(-1, 1, (1, 32, 512, 3))

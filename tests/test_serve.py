@@ -28,7 +28,7 @@ class TestRestorerReduced:
     channel plans only), small enough for the default suite."""
 
     def test_bucketed_restore_and_page(self):
-        net = MARCONet(width=0.125)
+        net = MARCONet(width=0.0625)
         params = net.init(jax.random.PRNGKey(0))
         restorer = TextPageRestorer(net, params, buckets=(2,))
         rng = np.random.default_rng(0)

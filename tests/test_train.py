@@ -124,12 +124,13 @@ class TestCropChars:
                                    rtol=1e-4, atol=1e-5)
 
 
-def tiny_batch(rng, b=2):
-    gt = rng.uniform(-1, 1, (b, 128, 2048, 3)).astype(np.float32)
-    mask = (rng.uniform(0, 1, (b, 128, 2048, 3)) > 0.7).astype(np.float32)
-    lq = rng.uniform(-1, 1, (b, 32, 512, 3)).astype(np.float32)
-    labels = np.full((b, 16), BLANK_INDEX, np.int64)
-    box = np.zeros((b, 32), np.float32)
+def tiny_batch(rng, b=2, n_chars=16):
+    w = 128 * n_chars
+    gt = rng.uniform(-1, 1, (b, 128, w, 3)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (b, 128, w, 3)) > 0.7).astype(np.float32)
+    lq = rng.uniform(-1, 1, (b, 32, w // 4, 3)).astype(np.float32)
+    labels = np.full((b, n_chars), BLANK_INDEX, np.int64)
+    box = np.zeros((b, 2 * n_chars), np.float32)
     for i in range(b):
         n = 3
         labels[i, :n] = rng.integers(0, 6735, n)
@@ -153,29 +154,33 @@ class TestBatchPrep:
 
 
 class TestTrainStepReduced:
-    """Full 3-phase GAN step + 8-device mesh, at reduced channel width.
+    """Full 3-phase GAN step + 8-device mesh, at reduced width + slots.
 
-    Same code path as the full-size step (``MARCONetTrainer(width=...)``
-    scales channel plans only), small enough to compile in the default
-    suite — the risk paths (5-net graph, mesh sharding, spectral-state
-    plumbing, optimizer updates) are exercised on every ``pytest -q``.
+    Same code path as the full-size step (``MARCONetTrainer(width=...,
+    max_chars=...)`` scales channel plans and slot capacity only), small
+    enough to compile in the default suite — the risk paths (5-net
+    graph, mesh sharding, spectral-state plumbing, optimizer updates)
+    are exercised on every ``pytest -q``.
     """
 
-    WIDTH = 0.125
+    WIDTH = 0.0625
+    SLOTS = 4
 
     def test_step_on_8_device_mesh_reduced(self, rng):
         from marconet_tpu.parallel import make_mesh, shard_batch
         from marconet_tpu.parallel.mesh import replicate_tree
 
         mesh = make_mesh(8)
-        trainer = MARCONetTrainer(TrainConfig(), width=self.WIDTH)
+        trainer = MARCONetTrainer(TrainConfig(), width=self.WIDTH,
+                                  max_chars=self.SLOTS)
         state = trainer.init_state(jax.random.PRNGKey(0))
         old = {name: np.asarray(
             jax.tree.leaves(getattr(state, name)["params"])[0])
             for name in ("encoder", "prior", "srnet", "net_d", "net_srd")}
         state = replicate_tree(mesh, state)
-        batch = TrainBatch(**{k: jnp.asarray(v)
-                              for k, v in tiny_batch(rng, b=8).items()})
+        batch = TrainBatch(**{
+            k: jnp.asarray(v)
+            for k, v in tiny_batch(rng, b=8, n_chars=self.SLOTS).items()})
         batch = TrainBatch(*shard_batch(mesh, tuple(batch)))
         step = jax.jit(trainer.train_step, donate_argnums=0)
         new_state, metrics = step(state, batch)
@@ -191,7 +196,8 @@ class TestTrainStepReduced:
         parameter groups receive zero optimizer updates; everything else
         still trains. Single-device, batch 2, reduced width."""
         cfg = TrainConfig(freeze=("encoder.cls", "prior"))
-        trainer = MARCONetTrainer(cfg, width=self.WIDTH)
+        trainer = MARCONetTrainer(cfg, width=self.WIDTH,
+                                  max_chars=self.SLOTS)
         state = trainer.init_state(jax.random.PRNGKey(0))
 
         def snap(tree):
@@ -202,8 +208,9 @@ class TestTrainStepReduced:
         enc_before = jax.tree_util.tree_flatten_with_path(
             state.encoder["params"])[0]
         pri_before = jax.tree.leaves(state.prior["params"])
-        batch = TrainBatch(**{k: jnp.asarray(v)
-                              for k, v in tiny_batch(rng, b=2).items()})
+        batch = TrainBatch(**{
+            k: jnp.asarray(v)
+            for k, v in tiny_batch(rng, b=2, n_chars=self.SLOTS).items()})
         step = jax.jit(trainer.train_step)
         new_state, _ = step(state, batch)
 
@@ -227,18 +234,21 @@ class TestTrainStepReduced:
     def test_freeze_unknown_group_raises(self):
         with pytest.raises(ValueError, match="unknown freeze group"):
             MARCONetTrainer(TrainConfig(freeze=("encoder.nope",)),
-                            width=self.WIDTH)
+                            width=self.WIDTH, max_chars=self.SLOTS)
 
     def test_visual_forward_shapes(self, rng):
-        trainer = MARCONetTrainer(TrainConfig(), width=self.WIDTH)
+        trainer = MARCONetTrainer(TrainConfig(), width=self.WIDTH,
+                                  max_chars=self.SLOTS)
         state = trainer.init_state(jax.random.PRNGKey(0))
-        batch = TrainBatch(**{k: jnp.asarray(v)
-                              for k, v in tiny_batch(rng, b=2).items()})
+        batch = TrainBatch(**{
+            k: jnp.asarray(v)
+            for k, v in tiny_batch(rng, b=2, n_chars=self.SLOTS).items()})
         vis = jax.jit(trainer.visual_forward)(state, batch)
-        assert vis["sr"].shape == (2, 128, 2048, 3)
-        assert vis["prior128"].shape == (2, 16, 128, 128, 3)
-        assert vis["pred_cw"].shape == (2, 32)
-        assert vis["pred_ids"].shape == (2, 64)
+        n = self.SLOTS
+        assert vis["sr"].shape == (2, 128, 128 * n, 3)
+        assert vis["prior128"].shape == (2, n, 128, 128, 3)
+        assert vis["pred_cw"].shape == (2, 2 * n)
+        assert vis["pred_ids"].shape == (2, 4 * n)
 
 
 class TestVisualGrids:

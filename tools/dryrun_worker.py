@@ -12,9 +12,12 @@ The step is the REAL jitted 3-phase train step (G+enc+SR / D / SRD, five
 nets, batch-sharded inputs, replicated params; the SPMD partitioner
 inserts the gradient psum — the XLA equivalent of the reference's
 DDP/NCCL contract, ``Train/options/train.yml:191-195``). The nets run at
-a reduced-but-parameterized channel width (``MARCONetTrainer(width=...)``:
-identical code path, fewer channels) because a full-size 5-net XLA:CPU
-compile takes tens of minutes and >70 GB RSS on this class of host.
+a reduced-but-parameterized channel width and slot count
+(``MARCONetTrainer(width=..., max_chars=...)``: identical code path,
+fewer channels / narrower canvases) because a full-size 5-net XLA:CPU
+compile takes tens of minutes and >70 GB RSS on this class of host, and
+the driver's dryrun budget is a few minutes of wall time (round-2
+failure mode: correct but too slow, MULTICHIP_r02.json rc=124).
 """
 
 import os
@@ -40,6 +43,20 @@ def main(n_devices: int) -> None:
     assert jax.device_count() == n_devices, (
         f"expected {n_devices} virtual devices, got {jax.device_count()}")
 
+    # Dedicated persistent compile cache for THIS worker only (never the
+    # session-wide one — a stale ambient TPU AOT cache broke round 1).
+    # jax keys entries by backend + compile options, so the CPU-only
+    # entries here can't collide with TPU runs; a pre-warmed cache cuts
+    # the driver's dryrun wall time by ~1-2 min on this 1-core host.
+    cache_dir = os.environ.get(
+        "MARCONET_DRYRUN_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".dryrun_xla_cache"))
+    if cache_dir and cache_dir != "off":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from marconet_tpu.alphabet import BLANK_INDEX
     from marconet_tpu.data.batch_prep import prepare_train_batch
     from marconet_tpu.parallel import make_mesh, shard_batch
@@ -47,19 +64,36 @@ def main(n_devices: int) -> None:
     from marconet_tpu.train.train_step import (MARCONetTrainer, TrainBatch,
                                                TrainConfig)
 
-    width = float(os.environ.get("MARCONET_DRYRUN_WIDTH", "0.125"))
+    width = float(os.environ.get("MARCONET_DRYRUN_WIDTH", "0.0625"))
+    slots = int(os.environ.get("MARCONET_DRYRUN_SLOTS", "4"))
+    t_start = time.time()
     mesh = make_mesh(n_devices)
-    trainer = MARCONetTrainer(TrainConfig(), width=width)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    trainer = MARCONetTrainer(TrainConfig(), width=width, max_chars=slots)
+
+    # jit the whole init: one compiled program instead of hundreds of
+    # op-by-op eager dispatches (~2x faster on this 1-core host, and the
+    # persistent cache makes reruns near-instant). init_state stores the
+    # LPIPS variables on the trainer as a side effect — under jit those
+    # would be leaked tracers, so return them as outputs and write the
+    # concrete values back.
+    def make_state(key):
+        st = trainer.init_state(key)
+        return st, trainer.lpips_variables
+
+    state, trainer.lpips_variables = jax.jit(make_state)(
+        jax.random.PRNGKey(0))
     state = replicate_tree(mesh, state)
+    print(f"[dryrun] init_state+replicate {time.time() - t_start:.1f}s",
+          flush=True)
 
     rng = np.random.default_rng(0)
     b = n_devices
-    gt = rng.uniform(-1, 1, (b, 128, 2048, 3)).astype(np.float32)
-    ink = (rng.uniform(0, 1, (b, 128, 2048, 3)) > 0.7).astype(np.float32)
-    lq = rng.uniform(-1, 1, (b, 32, 512, 3)).astype(np.float32)
-    labels = np.full((b, 16), BLANK_INDEX, np.int64)
-    box = np.zeros((b, 32), np.float32)
+    gt_w = 128 * slots
+    gt = rng.uniform(-1, 1, (b, 128, gt_w, 3)).astype(np.float32)
+    ink = (rng.uniform(0, 1, (b, 128, gt_w, 3)) > 0.7).astype(np.float32)
+    lq = rng.uniform(-1, 1, (b, 32, gt_w // 4, 3)).astype(np.float32)
+    labels = np.full((b, slots), BLANK_INDEX, np.int64)
+    box = np.zeros((b, 2 * slots), np.float32)
     for i in range(b):
         labels[i, :3] = [5, 9, 100]
         for c, left in enumerate((0.05, 0.2, 0.4)):
@@ -71,14 +105,37 @@ def main(n_devices: int) -> None:
 
     t0 = time.time()
     step = jax.jit(trainer.train_step, donate_argnums=0)
-    new_state, metrics = step(state, batch)
+    lowered = step.lower(state, batch)
+    t_trace = time.time() - t0
+    compiled = lowered.compile()
+    t_compile = time.time() - t0 - t_trace
+    new_state, metrics = compiled(state, batch)
     jax.block_until_ready(metrics)
+    t_exec = time.time() - t0 - t_trace - t_compile
     assert int(new_state.step) == 1
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
+
+    # replica consistency: params are replicated — after the psum-reduced
+    # update every device must hold bit-identical values. A sharding-spec
+    # regression (e.g. a param silently batch-sharded) fails here.
+    for name, tree in (("encoder", new_state.encoder),
+                       ("net_d", new_state.net_d)):
+        leaf = jax.tree.leaves(tree["params"])[0]
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        assert len(shards) == n_devices, (
+            f"{name} param not replicated on all devices "
+            f"({len(shards)}/{n_devices} shards)")
+        for i, s in enumerate(shards[1:], 1):
+            np.testing.assert_array_equal(
+                shards[0], s,
+                err_msg=f"{name} params diverge between replica 0 and {i}")
+
     print(f"dryrun_multichip({n_devices}) OK — width={width}, "
+          f"slots={slots}, "
           f"l_g_total={float(metrics['l_g_total']):.4f}, "
-          f"compile+step {time.time() - t0:.1f}s")
+          f"trace {t_trace:.1f}s, compile {t_compile:.1f}s, "
+          f"step {t_exec:.1f}s")
 
 
 if __name__ == "__main__":

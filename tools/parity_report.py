@@ -102,6 +102,9 @@ def main():
                              "(raw SR images or 4-row collages)")
     parser.add_argument("--report", default="parity_report.json")
     parser.add_argument("--psnr_gate", type=float, default=40.0)
+    parser.add_argument("--golden_dir", default=None,
+                        help="where to record goldens (default: "
+                             "tests/goldens of this repo)")
     args = parser.parse_args()
 
     from marconet_tpu.utils.image import calculate_psnr
@@ -121,7 +124,7 @@ def main():
 
     report = {"ckpt_dir": args.ckpt_dir, "images": {}, "verdict": None}
 
-    golden_dir = os.path.join(os.path.dirname(
+    golden_dir = args.golden_dir or os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "tests", "goldens")
     os.makedirs(golden_dir, exist_ok=True)
     import cv2
