@@ -33,6 +33,7 @@ is centered: ``y1 = hw - L // 2``.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
@@ -232,11 +233,25 @@ class SFTFusion(nn.Module):
         return canvas + res.transpose(0, 2, 1, 3)
 
 
+_PHASE_TAIL_DEFAULT = os.environ.get("MARCONET_PHASE_TAIL", "1") == "1"
+
+
 class StructurePriorSRNet(nn.Module):
-    """The reference's ``TSPSRNet``: encoder/decoder + 2-scale SFT fusion."""
+    """The reference's ``TSPSRNet``: encoder/decoder + 2-scale SFT fusion.
+
+    ``phase_tail`` runs the final chain (final_b/final_res/final_out) in
+    the phase-separated 2x2-subpixel layout (``ops/phase.py``): the
+    64/128-channel convs on the 128 x 2048 canvas are layout-bound at 31%
+    MXU; the exact same math on the half-res grid with phases packed into
+    channels measures ~1.5x faster per conv on v5e (BENCH_NOTES.md).
+    Identical parameters and numerics either way (pinned in
+    tests/test_models.py); env ``MARCONET_PHASE_TAIL=0`` flips the
+    default for A/B timing.
+    """
 
     dim: int = 256
     update_stats: bool = False
+    phase_tail: bool = _PHASE_TAIL_DEFAULT
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -294,6 +309,20 @@ class StructurePriorSRNet(nn.Module):
         # final x2 to 128 x 2048; the upsample is folded into final_b
         # (exact composition — ops/resize.conv3x3_after_upsample2x)
         x = leaky_relu(sn(d // 2, name="final_a")(s64))
+        if self.phase_tail:
+            # phase-separated layout to the very end: final_b emits the
+            # hi-res canvas as (B, 64, 1024, 4*(d//4)) subpixel phases,
+            # final_res/final_out consume it in place, and one cheap
+            # depth-to-space after tanh materializes the 128 x 2048 image
+            from marconet_tpu.ops.phase import phase_unpack
+            x = leaky_relu(SNConv(d // 4, update_stats=us, dtype=dt,
+                                  pre_upsample=True, phase_output=True,
+                                  name="final_b")(x))
+            x = ResTextBlockV2(d // 4, update_stats=us, dtype=dt,
+                               phase=True, name="final_res")(x)
+            x = SNConv(3, update_stats=us, dtype=dt, phase_input=True,
+                       name="final_out")(x)
+            return phase_unpack(jnp.tanh(x))
         x = leaky_relu(SNConv(d // 4, update_stats=us, dtype=dt,
                               pre_upsample=True, name="final_b")(x))
         x = ResTextBlockV2(d // 4, update_stats=us, dtype=dt,

@@ -204,11 +204,20 @@ class SNConv(nn.Module):
     # dense input-dilated conv instead of the bandwidth-bound depthwise
     # upsample + conv — see ops/resize.conv3x3_after_upsample2x)
     pre_upsample: bool = False
+    # phase-separated (2x2 subpixel) layout (ops/phase.py): with
+    # phase_input the hi-res 3x3 conv consumes/produces (B,H,W,4C)
+    # phase-packed tensors; with pre_upsample + phase_output the fused
+    # upsample-conv emits phase-packed output. Parameter shapes are
+    # identical to the plain path (phase kernels are derived at trace
+    # time), so converted checkpoints are unaffected.
+    phase_input: bool = False
+    phase_output: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1]
+        in_features = x.shape[-1] // 4 if self.phase_input \
+            else x.shape[-1]
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -252,8 +261,17 @@ class SNConv(nn.Module):
 
         if self.pre_upsample:
             assert self.kernel_size == (3, 3) and self.strides == (1, 1)
-            from marconet_tpu.ops.resize import conv3x3_after_upsample2x
-            y = conv3x3_after_upsample2x(x.astype(self.dtype), w)
+            if self.phase_output:
+                from marconet_tpu.ops.phase import \
+                    conv3x3_after_upsample2x_phase
+                y = conv3x3_after_upsample2x_phase(x.astype(self.dtype), w)
+            else:
+                from marconet_tpu.ops.resize import conv3x3_after_upsample2x
+                y = conv3x3_after_upsample2x(x.astype(self.dtype), w)
+        elif self.phase_input:
+            assert self.kernel_size == (3, 3) and self.strides == (1, 1)
+            from marconet_tpu.ops.phase import phase_conv3x3
+            y = phase_conv3x3(x.astype(self.dtype), w)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), w,
@@ -263,7 +281,10 @@ class SNConv(nn.Module):
             )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+            if self.phase_input or (self.pre_upsample and self.phase_output):
+                bias = jnp.tile(bias, 4)  # one copy per subpixel phase
+            y = y + bias
         return y
 
 
@@ -310,12 +331,19 @@ class ResTextBlockV2(nn.Module):
 
     features: int
     update_stats: bool = False
+    # consume/produce phase-packed (B,H,W,4C) tensors (ops/phase.py);
+    # same parameter tree as the plain path — GroupNorm stats pool the
+    # four phase copies, convs run as phase-layout kernels
+    phase: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_in, mask=None, fused_windows=None, lengths=None):
         if fused_windows is not None:
             return self._fused(fused_windows, mask, lengths)
+        if self.phase:
+            assert mask is None, "phase mode has no windowed-mask use"
+            return self._phase(x_in)
         in_features = x_in.shape[-1]
         x = GroupNorm(name="norm1")(x_in, mask=mask)
         x = swish(x)
@@ -335,6 +363,35 @@ class ResTextBlockV2(nn.Module):
             if mask is not None:
                 x_in = x_in * mask.astype(x_in.dtype)
         return x + x_in
+
+    def _phase(self, x_in):
+        """Phase-layout variant: identical math and parameter tree to the
+        plain path, computed on the half-res grid with the 2x2 subpixel
+        phases packed into channels (``ops/phase.py``)."""
+        from marconet_tpu.ops.phase import phase_group_norm
+
+        c_in = x_in.shape[-1] // 4
+
+        def gn(name, v, c):
+            donor = jnp.zeros((1, 1, 1, c), v.dtype)
+            gamma, beta = GroupNorm(name=name)(donor, params_only=True)
+            return phase_group_norm(v, gamma, beta, c // min(32, c))
+
+        x = swish(gn("norm1", x_in, c_in))
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   phase_input=True, dtype=self.dtype, name="conv1")(x)
+        x = swish(gn("norm2", x, self.features))
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   phase_input=True, dtype=self.dtype, name="conv2")(x)
+        skip = x_in
+        if c_in != self.features:
+            # hi-res 1x1 conv = per-phase-block channel matmul
+            b, h, w, _ = x_in.shape
+            skip = Conv(self.features, kernel_size=(1, 1), padding="VALID",
+                        dtype=self.dtype, name="conv_out")(
+                x_in.reshape(b, h, w * 4, c_in)).reshape(
+                b, h, w, 4 * self.features)
+        return x + skip
 
     def _fused(self, fused_windows, mask, lengths):
         """TPU fused-kernel variant of the SFT fuse block.

@@ -96,6 +96,41 @@ def compose_bilinear_conv_kernel(k3: jax.Array) -> jax.Array:
     return k6
 
 
+def border_strips(x: jax.Array, k3: jax.Array):
+    """Exact 1-px border rows/cols of ``conv3x3(zero-SAME, upsample2x(x))``.
+
+    The composed (fused) formulations of upsample+conv are interior-exact
+    but differ on the hi-res output's 1-px border, where the conv's zero
+    padding of the *intermediate* is not expressible through the dilated/
+    phase kernels. These thin slices recompute the border with the exact
+    separate path; both the dense composed form
+    (``conv3x3_after_upsample2x``) and the phase-layout form
+    (``ops/phase.conv3x3_after_upsample2x_phase``) patch them in.
+
+    Returns ``(top, bot, left, right)`` with shapes (B,1,2W,O) x2 and
+    (B,2H,1,O) x2; left/right cover the corners (full height).
+    """
+
+    def conv(v, pad_h, pad_w):
+        return jax.lax.conv_general_dilated(
+            v, k3, (1, 1), (pad_h, pad_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # top/bottom rows: conv over [zero row, up rows 0..1] (and mirrored)
+    up_t = upsample2x_bilinear(x[:, :2])[:, :2]
+    up_b = upsample2x_bilinear(x[:, -2:])[:, -2:]
+    zrow = jnp.zeros_like(up_t[:, :1])
+    top = conv(jnp.concatenate([zrow, up_t], 1), (0, 0), (1, 1))
+    bot = conv(jnp.concatenate([up_b, zrow], 1), (0, 0), (1, 1))
+    # left/right columns (full height, so the corners match too)
+    up_l = upsample2x_bilinear(x[:, :, :2])[:, :, :2]
+    up_r = upsample2x_bilinear(x[:, :, -2:])[:, :, -2:]
+    zcol = jnp.zeros_like(up_l[:, :, :1])
+    left = conv(jnp.concatenate([zcol, up_l], 2), (1, 1), (0, 0))
+    right = conv(jnp.concatenate([up_r, zcol], 2), (1, 1), (0, 0))
+    return top, bot, left, right
+
+
 def conv3x3_after_upsample2x(x: jax.Array, k3: jax.Array) -> jax.Array:
     """Exactly ``conv3x3(same-pad, upsample2x_bilinear(x))``, fused.
 
@@ -104,10 +139,8 @@ def conv3x3_after_upsample2x(x: jax.Array, k3: jax.Array) -> jax.Array:
     following conv into one dense ``lhs_dilation=2`` convolution (kernel
     from ``compose_bilinear_conv_kernel``) is measured ~2x faster at the
     SR net's final_b shape (v5e; BENCH_NOTES.md). The composed conv is
-    interior-exact; the four 1-px output borders — where the conv's
-    zero padding of the *intermediate* differs from reading further into
-    the dilated input — are recomputed with thin slices of the exact
-    path and patched in.
+    interior-exact; the four 1-px output borders are recomputed with thin
+    slices of the exact path (``border_strips``) and patched in.
     """
     b, h, w, ci = x.shape
     k6 = compose_bilinear_conv_kernel(k3)
@@ -116,26 +149,9 @@ def conv3x3_after_upsample2x(x: jax.Array, k3: jax.Array) -> jax.Array:
         xp, k6, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))    # (B, 2H, 2W, O)
 
-    def conv(v, pad_h, pad_w):
-        return jax.lax.conv_general_dilated(
-            v, k3, (1, 1), (pad_h, pad_w),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    co = k3.shape[-1]
-    # top/bottom rows: conv over [zero row, up rows 0..1] (and mirrored)
-    up_t = upsample2x_bilinear(x[:, :2])[:, :2]
-    up_b = upsample2x_bilinear(x[:, -2:])[:, -2:]
-    zrow = jnp.zeros_like(up_t[:, :1])
-    top = conv(jnp.concatenate([zrow, up_t], 1), (0, 0), (1, 1))
-    bot = conv(jnp.concatenate([up_b, zrow], 1), (0, 0), (1, 1))
+    top, bot, left, right = border_strips(x, k3)
     out = out.at[:, :1].set(top)
     out = out.at[:, -1:].set(bot)
-    # left/right columns (full height, so the corners match too)
-    up_l = upsample2x_bilinear(x[:, :, :2])[:, :, :2]
-    up_r = upsample2x_bilinear(x[:, :, -2:])[:, :, -2:]
-    zcol = jnp.zeros_like(up_l[:, :, :1])
-    left = conv(jnp.concatenate([zcol, up_l], 2), (1, 1), (0, 0))
-    right = conv(jnp.concatenate([up_r, zcol], 2), (1, 1), (0, 0))
     out = out.at[:, :, :1].set(left)
     out = out.at[:, :, -1:].set(right)
     return out

@@ -203,3 +203,32 @@ class TestPipeline:
         weights = jnp.linspace(0.0, 1.0, 3)
         imgs = net.interpolate_styles(params, w1, w2, labels, weights)
         assert imgs.shape == (3, 2, 128, 128, 3)
+
+
+class TestPhaseTail:
+    def test_phase_tail_equivalent(self):
+        """The phase-separated final chain (default) must match the plain
+        hi-res tail bit-for-tolerance with the SAME parameters — it is an
+        exact layout re-bracketing, not an approximation."""
+        rng = np.random.default_rng(5)
+        lq = jnp.asarray(rng.standard_normal((1, 32, 128, 3)) * 0.3,
+                         jnp.float32)
+        p64 = jnp.asarray(rng.standard_normal((1, 2, 64, 64, 32)) * 0.1,
+                          jnp.float32)
+        p32 = jnp.asarray(rng.standard_normal((1, 2, 32, 32, 64)) * 0.1,
+                          jnp.float32)
+        locs = jnp.asarray([[0.3, 0.1, 0.7, 0.1]], jnp.float32)
+
+        plain = StructurePriorSRNet(dim=32, phase_tail=False)
+        phased = StructurePriorSRNet(dim=32, phase_tail=True)
+        variables = plain.init(jax.random.PRNGKey(0), lq, p64, p32, locs)
+        # identical parameter trees: a converted checkpoint loads into
+        # either graph
+        variables2 = phased.init(jax.random.PRNGKey(0), lq, p64, p32, locs)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(variables2)
+        ref = plain.apply(variables, lq, p64, p32, locs)
+        got = phased.apply(variables, lq, p64, p32, locs)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)

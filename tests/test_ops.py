@@ -211,3 +211,94 @@ class TestComposedUpsampleConv:
         out = fused.apply(params, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestPhaseLayout:
+    """ops/phase.py: the 2x2-subpixel phase layout must be an exact
+    re-bracketing of the hi-res math (probe-driven tail redesign,
+    BENCH_NOTES.md)."""
+
+    def test_pack_unpack_roundtrip(self, rng):
+        from marconet_tpu.ops.phase import phase_pack, phase_unpack
+
+        y = jnp.asarray(rng.standard_normal((2, 12, 20, 5)), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(phase_unpack(phase_pack(y))),
+                                      np.asarray(y))
+
+    def test_phase_conv3x3_matches_hires(self, rng):
+        from marconet_tpu.ops.phase import (phase_conv3x3, phase_pack,
+                                            phase_unpack)
+
+        y = jnp.asarray(rng.standard_normal((2, 12, 20, 8)), jnp.float32)
+        k3 = jnp.asarray(rng.standard_normal((3, 3, 8, 12)) * 0.2,
+                         jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(12), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            y, k3, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        got = phase_unpack(phase_conv3x3(phase_pack(y), k3, bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_upconv_phase_matches_separate_path(self, rng):
+        from marconet_tpu.ops.phase import (conv3x3_after_upsample2x_phase,
+                                            phase_unpack)
+        from marconet_tpu.ops.resize import upsample2x_bilinear
+
+        x = jnp.asarray(rng.standard_normal((2, 6, 10, 5)), jnp.float32)
+        k3 = jnp.asarray(rng.standard_normal((3, 3, 5, 7)) * 0.2,
+                         jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            upsample2x_bilinear(x), k3, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = phase_unpack(conv3x3_after_upsample2x_phase(x, k3))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_phase_group_norm_matches_hires(self, rng):
+        from marconet_tpu.ops.layers import group_norm
+        from marconet_tpu.ops.phase import (phase_group_norm, phase_pack,
+                                            phase_unpack)
+
+        y = jnp.asarray(rng.standard_normal((2, 8, 12, 64)), jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal(64), jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(64), jnp.float32)
+        ref = group_norm(y, gamma, beta, num_groups=2)
+        got = phase_unpack(
+            phase_group_norm(phase_pack(y), gamma, beta, num_groups=2))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_res_block_phase_matches_plain(self, rng):
+        """Whole ResTextBlockV2 in phase mode (GN + SNConvs + conv_out
+        skip projection) vs the plain hi-res path, same parameters."""
+        from marconet_tpu.ops.layers import ResTextBlockV2
+        from marconet_tpu.ops.phase import phase_pack, phase_unpack
+
+        y = jnp.asarray(rng.standard_normal((2, 8, 12, 8)), jnp.float32)
+        plain = ResTextBlockV2(12)
+        phased = ResTextBlockV2(12, phase=True)
+        params = plain.init(jax.random.PRNGKey(0), y)
+        ref = plain.apply(params, y)
+        got = phase_unpack(phased.apply(params, phase_pack(y)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_snconv_phase_modes_match(self, rng):
+        from marconet_tpu.ops.layers import SNConv
+        from marconet_tpu.ops.phase import phase_pack, phase_unpack
+        from marconet_tpu.ops.resize import upsample2x_bilinear
+
+        x = jnp.asarray(rng.standard_normal((2, 6, 10, 6)), jnp.float32)
+        up = upsample2x_bilinear(x)
+        plain = SNConv(4)
+        params = plain.init(jax.random.PRNGKey(0), up)
+        ref = plain.apply(params, up)
+        got_in = phase_unpack(
+            SNConv(4, phase_input=True).apply(params, phase_pack(up)))
+        got_up = phase_unpack(
+            SNConv(4, pre_upsample=True, phase_output=True).apply(params, x))
+        np.testing.assert_allclose(np.asarray(got_in), np.asarray(ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_up), np.asarray(ref),
+                                   atol=1e-5)

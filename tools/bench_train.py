@@ -64,21 +64,26 @@ def main():
     batch = TrainBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
 
     # ---- full step --------------------------------------------------------
-    step = jax.jit(trainer.train_step)
+    # donate the carried state: without donation two full copies of the
+    # 5-net params + optimizer state live across each step (OOM risk on a
+    # 16 GB chip at width 1.0)
+    step = jax.jit(trainer.train_step, donate_argnums=0)
     t0 = time.time()
-    new_state, metrics = step(state, batch)
+    st, metrics = step(state, batch)
+    del state  # buffers donated — invalid from here on
     jax.block_until_ready(metrics)
     print(f"full-step compile+first {time.time() - t0:.1f}s  "
           f"l_g_total={float(metrics['l_g_total']):.3f}", flush=True)
 
     t0 = time.perf_counter()
-    st = state
     for _ in range(iters):
         st, metrics = step(st, batch)
     float(metrics["l_g_total"])  # host sync through a data dependency
     dt_step = (time.perf_counter() - t0) / iters
     print(f"train_step: {dt_step * 1e3:8.1f} ms/step   "
           f"{b / dt_step:6.2f} samples/s/chip", flush=True)
+
+    state = st  # post-loop state stands in for the phase breakdowns
 
     # ---- G phase (the value_and_grad over encoder+prior+srnet) -----------
     @jax.jit
