@@ -149,28 +149,6 @@ class SFTFusion(nn.Module):
 
         m = colmask.reshape(b * n, 1, win, 1)
 
-        if pallas_sft.use_pallas_sft(self.update_stats, c) \
-                and width % 16 == 0 and win % 16 == 0 \
-                and width >= win + 16:
-            # fused TPU path: window gather, prior-crop alignment, AdaIN
-            # and norm1+swish run inside one Pallas kernel; the conv
-            # stacks stay XLA; the write-back is a sequential RMW kernel
-            # with the reference's overlap semantics
-            lens = L.reshape(-1)
-            fuse, xin = ResTextBlockV2(
-                self.features, update_stats=self.update_stats,
-                dtype=self.dtype, name="fuse")(
-                None, mask=m, fused_windows=(canvas, priors, x1, y1, L),
-                lengths=lens)
-            scale = SNStack(self.features, update_stats=self.update_stats,
-                            dtype=self.dtype, name="scale")(fuse, mask=m)
-            shift = SNStack(self.features, update_stats=self.update_stats,
-                            dtype=self.dtype, name="shift")(fuse, mask=m)
-
-            lq_f = xin[..., c:]  # the gathered (masked) LQ windows
-            res = (lq_f * scale + shift).reshape(b, n, h, win, c)
-            return pallas_sft.sft_writeback(canvas, res, x1, L, char_mask)
-
         # windows from the right-padded canvas — constant width `win`;
         # hw pad suffices: x1 <= W - hw - 1, so x1 + win <= W + hw - 1
         padded = jnp.pad(canvas, ((0, 0), (0, 0), (0, hw), (0, 0)))
@@ -200,6 +178,15 @@ class SFTFusion(nn.Module):
         shift = SNStack(self.features, update_stats=self.update_stats,
                         dtype=self.dtype, name="shift")(fuse, mask=m)
         out_win = (lq_f * scale + shift).reshape(b, n, h, win, c)
+
+        if pallas_sft.use_pallas_sft(self.update_stats, c) \
+                and width % 16 == 0 and win % 16 == 0 \
+                and width >= win + 16:
+            # opt-in Pallas write-back: sequential RMW window DMAs with
+            # the reference's overlap semantics — the formulation for
+            # shapes where the selection matmul below would dominate
+            return pallas_sft.sft_writeback(canvas, out_win, x1, L,
+                                            char_mask)
 
         # Write-back with the reference's last-writer-wins overlap
         # semantics (chars are written in slot order; later slots

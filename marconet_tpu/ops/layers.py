@@ -166,7 +166,7 @@ class GroupNorm(nn.Module):
         gamma = self.param("scale", nn.initializers.ones, (c,))
         beta = self.param("bias", nn.initializers.zeros, (c,))
         if params_only:
-            # fused Pallas paths apply the normalization themselves but
+            # phase-layout callers apply the normalization themselves but
             # must still own the affine parameters (x is a shape donor)
             return gamma, beta
         return group_norm(x, gamma, beta, c // cpg, self.eps, mask=mask)
@@ -338,9 +338,7 @@ class ResTextBlockV2(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_in, mask=None, fused_windows=None, lengths=None):
-        if fused_windows is not None:
-            return self._fused(fused_windows, mask, lengths)
+    def __call__(self, x_in, mask=None):
         if self.phase:
             assert mask is None, "phase mode has no windowed-mask use"
             return self._phase(x_in)
@@ -392,46 +390,6 @@ class ResTextBlockV2(nn.Module):
                 x_in.reshape(b, h, w * 4, c_in)).reshape(
                 b, h, w, 4 * self.features)
         return x + skip
-
-    def _fused(self, fused_windows, mask, lengths):
-        """TPU fused-kernel variant of the SFT fuse block.
-
-        Takes the canvas + per-slot priors + window geometry directly;
-        window gather, prior-crop alignment, AdaIN, the virtual concat,
-        norm1 and swish all happen inside one Pallas pass
-        (``ops/pallas_sft.adain_gn_windows``), norm2 + swish in another.
-        Identical math and parameter tree to the XLA path above.
-
-        Returns ``(out, xin)`` — the block output and the concat
-        ``[adain, lq_window]`` tensor (the caller reads the gathered LQ
-        windows from xin's second half).
-        """
-        from marconet_tpu.ops import pallas_sft
-
-        canvas, priors, x1, y1, wlen = fused_windows
-        c = priors.shape[-1]
-        c2 = 2 * c
-        shape_donor = jnp.zeros((1, 1, 1, c2), priors.dtype)
-        g1, b1 = GroupNorm(name="norm1")(shape_donor, params_only=True)
-        y5, xin5 = pallas_sft.adain_gn_windows(canvas, priors, x1, y1,
-                                               wlen, g1, b1)
-        bb, ss, h, win, _ = y5.shape
-        y = y5.reshape(bb * ss, h, win, c2)
-        xin = xin5.reshape(bb * ss, h, win, c2)
-        x = SNConv(self.features, update_stats=self.update_stats,
-                   dtype=self.dtype, name="conv1")(y)
-        g2, b2 = GroupNorm(name="norm2")(
-            jnp.zeros((1, 1, 1, self.features), x.dtype), params_only=True)
-        x = pallas_sft.gn_swish(x, lengths, g2, b2)
-        x = SNConv(self.features, update_stats=self.update_stats,
-                   dtype=self.dtype, name="conv2")(x)
-        if mask is not None:
-            x = x * mask.astype(x.dtype)
-        skip = Conv(self.features, kernel_size=(1, 1), padding="VALID",
-                    dtype=self.dtype, name="conv_out")(xin)
-        if mask is not None:
-            skip = skip * mask.astype(skip.dtype)
-        return x + skip, xin
 
 
 # ---------------------------------------------------------------------------

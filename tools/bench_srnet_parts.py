@@ -11,8 +11,8 @@ Times, as separate chained jit programs (batch 16, 8 slots, bf16):
 
 Each line also prints the stage's MXU FLOP floor (conv FLOPs at the v5e
 197 TFLOP/s bf16 peak) so the utilization gap is visible per part.
-Set MARCONET_PALLAS_SFT=0 to time the XLA SFT path instead of the fused
-Pallas path.
+Set MARCONET_PALLAS_SFT=1 to time the SFT stages with the opt-in Pallas
+write-back kernel instead of the default selection-matmul write-back.
 """
 
 import os
