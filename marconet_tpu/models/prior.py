@@ -126,7 +126,16 @@ class StructurePriorGenerator(nn.Module):
         x = x.astype(self.dtype)
 
         x = StyledConv(chans[4], dtype=self.dtype, name="conv_4")(x, w)
-        skip = ToRGB(upsample=False, dtype=self.dtype, name="to_rgb_4")(x, w)
+        # the RGB skip chain runs channels-major (B, 3, H, W): at 3/128
+        # lane fill the NHWC chain's per-resolution tanh/add/upsample
+        # steps are the generator's measured elementwise hot spot
+        # (BENCH_NOTES.md); one cheap transpose per returned image
+        # restores the NHWC contract
+        skip = ToRGB(upsample=False, channels_major=True, dtype=self.dtype,
+                     name="to_rgb_4")(x, w)
+
+        def nhwc(rgb_cm):
+            return jnp.transpose(rgb_cm, (0, 2, 3, 1))
 
         feat64 = feat32 = rgb64 = rgb32 = None
         res = 4
@@ -136,9 +145,10 @@ class StructurePriorGenerator(nn.Module):
             x = StyledConv(ch, upsample=True, dtype=self.dtype,
                            name=f"conv_{res}_up")(x, w)
             x = StyledConv(ch, dtype=self.dtype, name=f"conv_{res}")(x, w)
-            skip = ToRGB(dtype=self.dtype, name=f"to_rgb_{res}")(x, w, skip)
+            skip = ToRGB(channels_major=True, dtype=self.dtype,
+                         name=f"to_rgb_{res}")(x, w, skip)
             if res == 32:
-                feat32, rgb32 = x, skip
+                feat32, rgb32 = x, nhwc(skip)
             if res == 64:
-                feat64, rgb64 = x, skip
-        return PriorOutput(skip, feat64, feat32, rgb64, rgb32)
+                feat64, rgb64 = x, nhwc(skip)
+        return PriorOutput(nhwc(skip), feat64, feat32, rgb64, rgb32)

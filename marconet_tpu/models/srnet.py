@@ -20,9 +20,11 @@ program:
   only (numerically identical to slicing the exact window);
 * all (B x 16) windows run through the conv stacks as ONE batched conv —
   MXU-friendly — instead of 16 sequential tiny convs;
-* the write-back is a 16-step ``fori_loop`` of masked
-  ``dynamic_update_slice`` ops, preserving the reference's deterministic
-  last-writer-wins overlap semantics.
+* the write-back computes, per output column, the winning (highest
+  valid) slot and gathers its window column through a one-hot selection
+  matmul on the MXU — preserving the reference's deterministic
+  last-writer-wins overlap semantics in one batched program (an opt-in
+  Pallas RMW kernel formulation exists in ``ops/pallas_sft.py``).
 
 Window geometry (reference ``networks.py:427-441,460-474``): the predicted
 width is computed then overwritten by a constant half-width (16 at the
@@ -48,6 +50,7 @@ from marconet_tpu.ops.layers import (
     adaptive_instance_norm,
     leaky_relu,
 )
+from marconet_tpu.ops.phase import phase_unpack
 from marconet_tpu.ops.resize import upsample2x_bilinear
 
 Dtype = Any
@@ -283,7 +286,10 @@ class StructurePriorSRNet(nn.Module):
         s32 = SFTFusion(half_width=16, features=d, update_stats=us,
                         dtype=dt, name="sft_32")(s32, p32, locs, char_mask)
 
-        # up to the 64-high scale
+        # up to the 64-high scale (plain upsample + conv: at 256 ch the
+        # conv runs at ~78% MXU and the phase/composed upconv forms
+        # measured slower here — the unpack relayout + border machinery
+        # cost more than the upsample they remove; BENCH_NOTES.md)
         x = leaky_relu(sn(d, name="up_a")(upsample2x_bilinear(s32)))
         x = ResTextBlockV2(d, update_stats=us, dtype=dt, name="up_res")(x)
         s64 = sn(d, name="up_b")(x)
@@ -301,7 +307,6 @@ class StructurePriorSRNet(nn.Module):
             # hi-res canvas as (B, 64, 1024, 4*(d//4)) subpixel phases,
             # final_res/final_out consume it in place, and one cheap
             # depth-to-space after tanh materializes the 128 x 2048 image
-            from marconet_tpu.ops.phase import phase_unpack
             x = leaky_relu(SNConv(d // 4, update_stats=us, dtype=dt,
                                   pre_upsample=True, phase_output=True,
                                   name="final_b")(x))

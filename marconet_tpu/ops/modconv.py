@@ -43,6 +43,9 @@ class ModulatedConv2d(nn.Module):
     kernel_size: int = 3
     demodulate: bool = True
     upsample: bool = False
+    # emit (B, O, H, W) channels-major output (1x1 convs only): the
+    # lane-efficient layout for few-channel outputs like RGB — see ToRGB
+    channels_major_out: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -73,15 +76,43 @@ class ModulatedConv2d(nn.Module):
                            w2.sum(axis=(0, 1))) + 1e-8).astype(self.dtype)
 
         x = x.astype(self.dtype) * s[:, None, None, :]
-        if self.upsample:
-            x = upsample2x_bilinear(x)
-        pad = k // 2
-        y = jax.lax.conv_general_dilated(
-            x, w,
-            window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.channels_major_out:
+            assert k == 1 and not self.upsample
+            # contraction straight into (B, O, H, W): the write is
+            # lane-full (W minor) even for O=3
+            y = jnp.einsum("bhwi,io->bohw", x, w[0, 0],
+                           preferred_element_type=jnp.float32
+                           ).astype(self.dtype)
+            if self.demodulate:
+                y = y * demod[:, :, None, None]
+            return y
+        if self.upsample and k == 3 and x.shape[1] >= 32 \
+                and in_features <= 128:
+            # exact fused upsample+conv in the phase-separated layout
+            # (ops/phase.py): one plain 3x3 conv with a (3,3,I,4O) kernel
+            # on the low-res grid replaces the bandwidth-bound bilinear
+            # intermediate AND keeps the MXU contraction full-width —
+            # same FLOPs as the hi-res conv (no dilated-kernel
+            # inflation). Gated to >=32 input rows AND <=128 input
+            # channels: measured on v5e, the phase form wins only where
+            # the plain conv is layout-starved (final_b-class shapes);
+            # at the 256-512-ch generator sites the unpack relayout +
+            # border machinery cost more than the upsample they remove
+            # (conv_64 pair 14.1 -> 17.3 ms, conv_128 17.4 -> 19.6;
+            # BENCH_NOTES.md round 3).
+            from marconet_tpu.ops.phase import (
+                conv3x3_after_upsample2x_phase, phase_unpack)
+            y = phase_unpack(conv3x3_after_upsample2x_phase(x, w))
+        else:
+            if self.upsample:
+                x = upsample2x_bilinear(x)
+            pad = k // 2
+            y = jax.lax.conv_general_dilated(
+                x, w,
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.demodulate:
             y = y * demod[:, None, None, :]
         return y
@@ -110,16 +141,36 @@ class StyledConv(nn.Module):
 
 
 class ToRGB(nn.Module):
-    """1x1 modulated conv to RGB with tanh'd skip accumulation."""
+    """1x1 modulated conv to RGB with tanh'd skip accumulation.
+
+    ``channels_major=True`` runs the whole skip chain in (B, 3, H, W)
+    layout (skip taken and returned channels-major): an NHWC RGB tensor
+    occupies 3 of 128 vector lanes, so the chain's tanh/add/upsample
+    steps — repeated at every resolution — run at ~2% VPU efficiency,
+    while channels-major keeps W in the lanes and upsamples via MXU
+    blend matmuls (``ops/resize.upsample2x_bilinear_cm``). Identical
+    parameters and numerics either way.
+    """
 
     upsample: bool = True
+    channels_major: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, style, skip: Optional[jax.Array] = None):
         y = ModulatedConv2d(3, kernel_size=1, demodulate=False,
+                            channels_major_out=self.channels_major,
                             dtype=self.dtype, name="conv")(x, style)
         bias = self.param("bias", nn.initializers.zeros, (3,))
+        if self.channels_major:
+            y = y + bias.astype(y.dtype)[None, :, None, None]
+            if skip is not None:
+                if self.upsample:
+                    from marconet_tpu.ops.resize import \
+                        upsample2x_bilinear_cm
+                    skip = upsample2x_bilinear_cm(skip)
+                y = y + skip
+            return jnp.tanh(y)
         y = y + bias.astype(y.dtype)
         if skip is not None:
             if self.upsample:

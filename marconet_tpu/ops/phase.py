@@ -171,20 +171,38 @@ def conv3x3_after_upsample2x_phase(x: jax.Array, k3: jax.Array,
 
     top, bot, left, right = border_strips(x, k3.astype(x.dtype))
     b, h, w, _ = out.shape
+    # Patch the borders with fused pad+select passes — chained
+    # ``.at[].set()`` updates materialize a full-size copy of the output
+    # per patch on TPU (see ``resize.conv3x3_after_upsample2x``); these
+    # wheres fuse into one elementwise pass. left/right are applied last
+    # and own the corners.
+    ri = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 4 * co), 3)
+    zc = jnp.zeros_like(left.reshape(b, h, 2, co)[:, :, :1])
     # top (B,1,2W,O): hi row 0 = phase p=0 -> channel blocks (0,0),(0,1)
-    out = out.at[:, :1, :, :2 * co].set(
-        top.reshape(b, 1, w, 2 * co))
+    vt = jnp.pad(top.reshape(b, 1, w, 2 * co),
+                 ((0, 0), (0, h - 1), (0, 0), (0, 2 * co)))
+    out = jnp.where((ri == 0) & (ch < 2 * co), vt, out)
     # bottom (B,1,2W,O): hi row 2H-1 = p=1 row H-1 -> blocks (1,0),(1,1)
-    out = out.at[:, -1:, :, 2 * co:].set(
-        bot.reshape(b, 1, w, 2 * co))
-    # left (B,2H,1,O): hi col 0 = q=0 col 0 -> blocks (0,0) and (1,0)
+    vb = jnp.pad(bot.reshape(b, 1, w, 2 * co),
+                 ((0, 0), (h - 1, 0), (0, 0), (2 * co, 0)))
+    out = jnp.where((ri == h - 1) & (ch >= 2 * co), vb, out)
+    # left (B,2H,1,O): hi col 0 = q=0 col 0 -> blocks (0,0) and (2)
     lcol = left.reshape(b, h, 2, co)
-    out = out.at[:, :, :1, :co].set(lcol[:, :, :1])
-    out = out.at[:, :, :1, 2 * co:3 * co].set(lcol[:, :, 1:])
-    # right (B,2H,1,O): q=1 col W-1 -> blocks (0,1) and (1,1)
+    vl = jnp.pad(
+        jnp.concatenate([lcol[:, :, :1], zc, lcol[:, :, 1:], zc],
+                        axis=-1).reshape(b, h, 1, 4 * co),
+        ((0, 0), (0, 0), (0, w - 1), (0, 0)))
+    lmask = (ch < co) | ((ch >= 2 * co) & (ch < 3 * co))
+    out = jnp.where((ci == 0) & lmask, vl, out)
+    # right (B,2H,1,O): q=1 col W-1 -> blocks (1) and (3)
     rcol = right.reshape(b, h, 2, co)
-    out = out.at[:, :, -1:, co:2 * co].set(rcol[:, :, :1])
-    out = out.at[:, :, -1:, 3 * co:].set(rcol[:, :, 1:])
+    vr = jnp.pad(
+        jnp.concatenate([zc, rcol[:, :, :1], zc, rcol[:, :, 1:]],
+                        axis=-1).reshape(b, h, 1, 4 * co),
+        ((0, 0), (0, 0), (w - 1, 0), (0, 0)))
+    out = jnp.where((ci == w - 1) & ~lmask, vr, out)
     return out
 
 

@@ -302,3 +302,54 @@ class TestPhaseLayout:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(got_up), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_modulated_conv_upsample_phase_path(rng):
+    """The >=32-row upsample branch (phase-layout fused upconv) must
+    match the torch grouped-conv reference exactly like the small-input
+    branch does."""
+    B, H, W, CI, CO = 2, 32, 16, 8, 12
+    x = rng.standard_normal((B, H, W, CI), dtype=np.float32)
+    style = rng.standard_normal((B, 16), dtype=np.float32)
+    m = ModulatedConv2d(CO, kernel_size=3, demodulate=True, upsample=True)
+    params = m.init(jax.random.PRNGKey(1), jnp.asarray(x),
+                    jnp.asarray(style))
+    got = np.asarray(m.apply(params, jnp.asarray(x), jnp.asarray(style)))
+
+    weight = np.asarray(params["params"]["weight"])
+    mk = np.asarray(params["params"]["modulation"]["kernel"])
+    mb = np.asarray(params["params"]["modulation"]["bias"])
+    s = oracle.equal_linear(style, mk, mb, lr_mul=1.0, fused=False)
+    want = oracle.modulated_conv_grouped(x, weight, s, demodulate=True,
+                                         upsample=True)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+class TestChannelsMajorRGB:
+    def test_upsample_cm_matches_nhwc(self, rng):
+        from marconet_tpu.ops.resize import (upsample2x_bilinear,
+                                             upsample2x_bilinear_cm)
+
+        x = jnp.asarray(rng.standard_normal((2, 3, 12, 20)), jnp.float32)
+        ref = upsample2x_bilinear(jnp.transpose(x, (0, 2, 3, 1)))
+        got = jnp.transpose(upsample2x_bilinear_cm(x), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+    def test_torgb_channels_major_matches_plain(self, rng):
+        from marconet_tpu.ops.modconv import ToRGB
+
+        B, H, W, C = 2, 8, 8, 16
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        style = jnp.asarray(rng.standard_normal((B, 16)), jnp.float32)
+        skip = jnp.asarray(rng.standard_normal((B, H // 2, W // 2, 3)),
+                           jnp.float32)
+
+        plain = ToRGB()
+        cm = ToRGB(channels_major=True)
+        params = plain.init(jax.random.PRNGKey(0), x, style, skip)
+        ref = plain.apply(params, x, style, skip)
+        got = cm.apply(params, x, style, jnp.transpose(skip, (0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(got, (0, 2, 3, 1))), np.asarray(ref),
+            atol=1e-5)

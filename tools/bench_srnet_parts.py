@@ -176,11 +176,30 @@ def main():
 
     # ---- final chain ------------------------------------------------------
     class Final(nn.Module):
+        """Mirrors StructurePriorSRNet's tail: phase-separated subpixel
+        layout by default (MARCONET_PHASE_TAIL=0 for the plain composed
+        form, MARCONET_FINAL_UNFUSED=1 for the round-1 separate
+        upsample+conv chain)."""
+
         @nn.compact
         def __call__(self, s64):
             x = leaky_relu(SNConv(d // 2, dtype=dt, name="final_a")(s64))
-            x = leaky_relu(SNConv(d // 4, dtype=dt, name="final_b")(
-                upsample2x_bilinear(x)))
+            if os.environ.get("MARCONET_FINAL_UNFUSED") == "1":
+                x = leaky_relu(SNConv(d // 4, dtype=dt, name="final_b")(
+                    upsample2x_bilinear(x)))
+                x = ResTextBlockV2(d // 4, dtype=dt, name="final_res")(x)
+                return jnp.tanh(SNConv(3, dtype=dt, name="final_out")(x))
+            if os.environ.get("MARCONET_PHASE_TAIL", "1") == "1":
+                from marconet_tpu.ops.phase import phase_unpack
+                x = leaky_relu(SNConv(d // 4, dtype=dt, pre_upsample=True,
+                                      phase_output=True, name="final_b")(x))
+                x = ResTextBlockV2(d // 4, dtype=dt, phase=True,
+                                   name="final_res")(x)
+                x = SNConv(3, dtype=dt, phase_input=True,
+                           name="final_out")(x)
+                return phase_unpack(jnp.tanh(x))
+            x = leaky_relu(SNConv(d // 4, dtype=dt, pre_upsample=True,
+                                  name="final_b")(x))
             x = ResTextBlockV2(d // 4, dtype=dt, name="final_res")(x)
             return jnp.tanh(SNConv(3, dtype=dt, name="final_out")(x))
 
