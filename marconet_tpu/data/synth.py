@@ -317,14 +317,38 @@ class TextLineSynthesizer:
         }
 
     def batch(self, batch_size: int,
-              rng: Optional[np.random.Generator] = None):
-        """Synthesize a batch and attach the device-step extras."""
+              rng: Optional[np.random.Generator] = None,
+              max_chars: Optional[int] = None):
+        """Synthesize a batch and attach the device-step extras.
+
+        ``max_chars`` < 16 crops the line to the left ``max_chars*128``
+        pixels and the slot arrays to ``max_chars`` (characters whose
+        box crosses the crop are invalidated) — the data-side mirror of
+        the model's reduced slot capacity (``MARCONetTrainer(max_chars=
+        ...)``), used by the fast CI tier. Full-size training keeps the
+        default (the synthesizer's native 16-slot, 2048-px line).
+        """
         from marconet_tpu.data.batch_prep import prepare_train_batch
 
         rng = rng or np.random.default_rng()
         samples = [self.sample(rng) for _ in range(batch_size)]
         stack = {k: np.stack([s[k] for s in samples])
                  for k in ("gt", "mask", "label", "lq", "boxinfo")}
+        n_full = stack["label"].shape[1]
+        if max_chars is not None and max_chars < n_full:
+            b = stack["gt"].shape[0]
+            full_w = stack["gt"].shape[2]
+            w = full_w * max_chars // n_full
+            stack["gt"] = stack["gt"][:, :, :w]
+            stack["mask"] = stack["mask"][:, :, :w]
+            stack["lq"] = stack["lq"][:, :, :w // 4]
+            stack["label"] = stack["label"][:, :max_chars]
+            # renormalize (left, right) pairs to the cropped width;
+            # chars crossing the crop get a zero-width box -> invalid
+            box = stack["boxinfo"].reshape(b, -1, 2)[:, :max_chars]
+            box = box * (full_w / w)
+            box[box[:, :, 1] > 1.0] = 0.0
+            stack["boxinfo"] = np.clip(box, 0.0, 1.0).reshape(b, -1)
         return prepare_train_batch(stack["gt"], stack["mask"],
                                    stack["label"], stack["boxinfo"],
                                    stack["lq"])

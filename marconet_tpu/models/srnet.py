@@ -223,7 +223,22 @@ class SFTFusion(nn.Module):
         return canvas + res.transpose(0, 2, 1, 3)
 
 
-_PHASE_TAIL_DEFAULT = os.environ.get("MARCONET_PHASE_TAIL", "1") == "1"
+def _phase_tail_default() -> bool:
+    """Resolve the phase-tail default at trace time.
+
+    The phase-separated tail is a TPU layout optimization (+2% e2e on
+    v5e); on CPU it only inflates XLA:CPU compile time (the dryrun/CI
+    tier compiles every srnet graph), so the default is backend-gated.
+    ``MARCONET_PHASE_TAIL=0/1`` forces either way; parameters are
+    identical in both graphs, so checkpoints are unaffected.
+    """
+    env = os.environ.get("MARCONET_PHASE_TAIL")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 class StructurePriorSRNet(nn.Module):
@@ -235,13 +250,15 @@ class StructurePriorSRNet(nn.Module):
     MXU; the exact same math on the half-res grid with phases packed into
     channels measures ~1.5x faster per conv on v5e (BENCH_NOTES.md).
     Identical parameters and numerics either way (pinned in
-    tests/test_models.py); env ``MARCONET_PHASE_TAIL=0`` flips the
-    default for A/B timing.
+    tests/test_models.py). Default (``phase_tail=None``) resolves by
+    backend — on by default on TPU, off on CPU where it only inflates
+    XLA:CPU compile time; env ``MARCONET_PHASE_TAIL=0/1`` forces either
+    way for A/B timing.
     """
 
     dim: int = 256
     update_stats: bool = False
-    phase_tail: bool = _PHASE_TAIL_DEFAULT
+    phase_tail: bool | None = None  # None = TPU yes / CPU no (see above)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -302,7 +319,9 @@ class StructurePriorSRNet(nn.Module):
         # final x2 to 128 x 2048; the upsample is folded into final_b
         # (exact composition — ops/resize.conv3x3_after_upsample2x)
         x = leaky_relu(sn(d // 2, name="final_a")(s64))
-        if self.phase_tail:
+        phase_tail = self.phase_tail if self.phase_tail is not None \
+            else _phase_tail_default()
+        if phase_tail:
             # phase-separated layout to the very end: final_b emits the
             # hi-res canvas as (B, 64, 1024, 4*(d//4)) subpixel phases,
             # final_res/final_out consume it in place, and one cheap

@@ -23,6 +23,7 @@ Quirks preserved for checkpoint parity:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -76,6 +77,16 @@ class ModulatedConv2d(nn.Module):
                            w2.sum(axis=(0, 1))) + 1e-8).astype(self.dtype)
 
         x = x.astype(self.dtype) * s[:, None, None, :]
+        use_phase_up = self.upsample and k == 3 and x.shape[1] >= 32 \
+            and in_features <= 128
+        if use_phase_up:
+            # TPU layout optimization only: on CPU (the test/dryrun
+            # tier) the phase form just inflates XLA:CPU compile time.
+            # MARCONET_PHASE_UPCONV=0/1 forces either way (tests pin the
+            # phase path on CPU through the =1 override).
+            env = os.environ.get("MARCONET_PHASE_UPCONV")
+            use_phase_up = env == "1" if env is not None \
+                else jax.default_backend() == "tpu"
         if self.channels_major_out:
             assert k == 1 and not self.upsample
             # contraction straight into (B, O, H, W): the write is
@@ -86,8 +97,7 @@ class ModulatedConv2d(nn.Module):
             if self.demodulate:
                 y = y * demod[:, :, None, None]
             return y
-        if self.upsample and k == 3 and x.shape[1] >= 32 \
-                and in_features <= 128:
+        if use_phase_up:
             # exact fused upsample+conv in the phase-separated layout
             # (ops/phase.py): one plain 3x3 conv with a (3,3,I,4O) kernel
             # on the low-res grid replaces the bandwidth-bound bilinear

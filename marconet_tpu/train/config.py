@@ -84,6 +84,7 @@ def load_config(path: str) -> FullConfig:
         lpips_lambda=float(t.get("lpips_loss_lambda", 1.0)),
         srpixel_weight=float(_get(t, "srpixel_opt.loss_weight", 10.0)),
         width=float(t.get("model_width", 1.0)),
+        max_chars=int(t.get("model_max_chars", 16)),
         freeze=tuple(t.get("freeze", ()) or ()),
     )
 

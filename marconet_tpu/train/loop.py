@@ -26,7 +26,8 @@ from marconet_tpu.train.config import FullConfig, LoopConfig
 # ---------------------------------------------------------------------------
 
 
-def _worker(cfg: LoopConfig, batch_size: int, seed: int, q):
+def _worker(cfg: LoopConfig, batch_size: int, seed: int, q,
+            max_chars=None):
     from marconet_tpu.data.synth import SynthConfig, TextLineSynthesizer
 
     synth = TextLineSynthesizer(SynthConfig(
@@ -34,14 +35,15 @@ def _worker(cfg: LoopConfig, batch_size: int, seed: int, q):
         corpus_paths=cfg.corpus_paths))
     rng = np.random.default_rng(seed)
     while True:
-        q.put(synth.batch(batch_size, rng))
+        q.put(synth.batch(batch_size, rng, max_chars=max_chars))
 
 
 class BatchLoader:
     """Process-pool batch producer with a bounded prefetch queue."""
 
     def __init__(self, cfg: LoopConfig, global_batch: int,
-                 num_workers: Optional[int] = None, prefetch: int = 8):
+                 num_workers: Optional[int] = None, prefetch: int = 8,
+                 max_chars: Optional[int] = None):
         self.cfg = cfg
         self.global_batch = global_batch
         self.num_workers = num_workers or max(cfg.num_workers, 1)
@@ -50,7 +52,7 @@ class BatchLoader:
         self.procs = [
             ctx.Process(target=_worker,
                         args=(cfg, global_batch, cfg.seed + 1000 + i,
-                              self.q),
+                              self.q, max_chars),
                         daemon=True)
             for i in range(self.num_workers)
         ]
@@ -171,7 +173,8 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
 
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
     visual_fn = jax.jit(trainer.visual_forward)
-    loader = BatchLoader(loop, global_batch)
+    loader = BatchLoader(loop, global_batch,
+                         max_chars=trainer.max_chars)
 
     def log_visuals(state, batch: TrainBatch, step: int):
         """TB image grids every val_freq iters (reference

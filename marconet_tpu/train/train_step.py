@@ -77,6 +77,9 @@ class TrainConfig(NamedTuple):
     # architecture width multiplier (1.0 = exact reference channel plans;
     # reduced widths share the identical code path — dryrun/CI tiers)
     width: float = 1.0
+    # character-slot capacity (16 = exact reference; the GT canvas is
+    # max_chars*128 wide). Reduced counts share the identical code path.
+    max_chars: int = MAX_CHARS
     # selective freezing — the reference's module-level stop_update_*
     # toggles (``Train/tspgan/archs/textvit_arch.py:6-10,100-134``,
     # ``tsp_arch.py:292-294``), expressed as config: parameter groups
@@ -216,7 +219,7 @@ class MARCONetTrainer:
                  dtype=jnp.float32, num_classes: int = BLANK_INDEX + 1,
                  lpips_variables: Optional[Dict[str, Any]] = None,
                  width: Optional[float] = None,
-                 max_chars: int = MAX_CHARS):
+                 max_chars: Optional[int] = None):
         """``width`` scales every net's channel plan (1.0 = the exact
         reference architecture; defaults to ``config.width``) and
         ``max_chars`` the character-slot capacity (16 = exact; the GT
@@ -229,6 +232,7 @@ class MARCONetTrainer:
         self.dtype = dtype
         width = config.width if width is None else width
         self.width = width
+        max_chars = config.max_chars if max_chars is None else max_chars
         self.max_chars = max_chars
         self.encoder = TextContextEncoder(num_classes=num_classes,
                                           width=width, dtype=dtype,

@@ -22,6 +22,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Dedicated persistent XLA:CPU compile cache for the test tier (same
+# pattern as tools/dryrun_worker.py's dedicated cache — never the
+# session-wide TPU cache, which round 1 showed can go stale). The suite's
+# wall time on this 1-core host is dominated by XLA:CPU compiles of the
+# reduced 5-net graphs; a warm cache cuts `pytest -q` by tens of minutes.
+# Set MARCONET_TEST_CACHE=off to disable.
+_cache = os.environ.get(
+    "MARCONET_TEST_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".test_xla_cache"))
+if _cache and _cache != "off":
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

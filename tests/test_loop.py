@@ -33,7 +33,8 @@ def _smoke_config(tmp_path, **loop_kw) -> FullConfig:
                       print_freq=1, save_freq=2, val_freq=2,
                       use_tb_logger=True, allow_random_lpips=True,
                       experiments_root=str(tmp_path), **loop_kw)
-    return FullConfig(train=TrainConfig(width=0.0625), loop=loop)
+    return FullConfig(train=TrainConfig(width=0.0625, max_chars=4),
+                      loop=loop)
 
 
 def test_train_driver_end_to_end(tmp_path):

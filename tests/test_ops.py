@@ -304,10 +304,12 @@ class TestPhaseLayout:
                                    atol=1e-5)
 
 
-def test_modulated_conv_upsample_phase_path(rng):
+def test_modulated_conv_upsample_phase_path(rng, monkeypatch):
     """The >=32-row upsample branch (phase-layout fused upconv) must
     match the torch grouped-conv reference exactly like the small-input
-    branch does."""
+    branch does. Forced on via env: the default resolves by backend and
+    the CPU suite would otherwise take the plain path."""
+    monkeypatch.setenv("MARCONET_PHASE_UPCONV", "1")
     B, H, W, CI, CO = 2, 32, 16, 8, 12
     x = rng.standard_normal((B, H, W, CI), dtype=np.float32)
     style = rng.standard_normal((B, 16), dtype=np.float32)

@@ -126,12 +126,17 @@ def main():
             y = split16(xx, kk)
             return xx + (y.mean() * 0).astype(xx.dtype), y
 
-        # correctness vs dense (bf16 tolerance)
-        yd = phase_conv3x3(x[:1], k3)
-        ys = split16(x[:1], k3)
-        err = float(jnp.max(jnp.abs(yd.astype(jnp.float32) -
-                                    ys.astype(jnp.float32))))
-        print(f"split16 maxerr vs dense: {err:.4g}", flush=True)
+        # correctness vs dense (bf16 tolerance) — jitted: eager ops each
+        # compile a one-off remote executable through the tunnel
+        @jax.jit
+        def check(xx, kk):
+            yd = phase_conv3x3(xx, kk)
+            ys = split16(xx, kk)
+            return jnp.max(jnp.abs(yd.astype(jnp.float32) -
+                                   ys.astype(jnp.float32)))
+
+        print(f"split16 maxerr vs dense: "
+              f"{float(check(x[:1], k3)):.4g}", flush=True)
 
         t = chain_time(split16_step, (x, k3))
         print(f"split 16-conv           {t * 1e3:7.2f} ms "
