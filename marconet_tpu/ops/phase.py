@@ -40,6 +40,8 @@ Two kernel derivations:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,6 +108,45 @@ def phase_conv3x3_kernels(k3: jax.Array):
     return tuple(kers)
 
 
+def phase_conv3x3_kernels_split4(k3: jax.Array):
+    """(3,3,I,O) hi-res conv kernel -> four (2,2,4I,O) phase kernels.
+
+    One kernel per output phase (p, q), ordered ``2p+q``. Output phase
+    (p, q)'s low-res footprint is 2x2: row offsets ``di`` span {-1,0}
+    for p=0 (row padding (1,0)) and {0,1} for p=1 (padding (0,1)), and
+    likewise for columns — so each kernel is (2,2) over all 4I packed
+    input channels. 9 of the 16 tap-slots are nonzero: 1.78x the hi-res
+    MACs, vs 2.67x for the dense 2-conv form (``phase_conv3x3_kernels``)
+    — while keeping 4I-channel-wide MXU contractions.
+    """
+    ci, co = k3.shape[2], k3.shape[3]
+    kers = []
+    for p in (0, 1):
+        for q in (0, 1):
+            k = jnp.zeros((2, 2, 4 * ci, co), k3.dtype)
+            for dy in (-1, 0, 1):
+                r = (p + dy) % 2
+                di = (p + dy - r) // 2
+                ki = di + 1 if p == 0 else di
+                for dx in (-1, 0, 1):
+                    s = (q + dx) % 2
+                    dj = (q + dx - s) // 2
+                    kj = dj + 1 if q == 0 else dj
+                    blk = 2 * r + s
+                    k = k.at[ki, kj, blk * ci:(blk + 1) * ci].add(
+                        k3[dy + 1, dx + 1])
+            kers.append(k)
+    return tuple(kers)
+
+
+def _phase_conv_form() -> str:
+    """Phase-conv formulation: 'dense2' (two (2,3,4I,2O) convs),
+    'split4' (four (2,2,4I,O) convs, 1.78x MACs) or 'splitpad' (one
+    (2,2,4I,4O) conv on the zero-padded input + shifted slices).
+    All exact; selected by measurement (BENCH_NOTES.md)."""
+    return os.environ.get("MARCONET_PHASE_CONV", "dense2")
+
+
 def phase_conv3x3(x: jax.Array, k3: jax.Array,
                   bias: jax.Array | None = None) -> jax.Array:
     """Hi-res 3x3 zero-SAME conv, computed entirely in phase layout.
@@ -114,17 +155,49 @@ def phase_conv3x3(x: jax.Array, k3: jax.Array,
     conv3x3_zero_same(y, k3)`` exactly (up to float reassociation).
 
     x: (B, H, W, 4I) phase-packed; returns (B, H, W, 4O) phase-packed.
+    Formulation selected by ``MARCONET_PHASE_CONV`` (see
+    ``_phase_conv_form``); all forms are exact re-bracketings.
     """
-    k_p0, k_p1 = phase_conv3x3_kernels(k3.astype(x.dtype))
+    form = _phase_conv_form()
+    if form == "dense2":
+        k_p0, k_p1 = phase_conv3x3_kernels(k3.astype(x.dtype))
 
-    def conv(v, k, pad_h):
-        return jax.lax.conv_general_dilated(
-            v, k, (1, 1), (pad_h, (1, 1)),
+        def conv(v, k, pad_h):
+            return jax.lax.conv_general_dilated(
+                v, k, (1, 1), (pad_h, (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        y0 = conv(x, k_p0, (1, 0))  # blocks (0,0), (0,1)
+        y1 = conv(x, k_p1, (0, 1))  # blocks (1,0), (1,1)
+        y = jnp.concatenate([y0, y1], axis=-1)
+    elif form == "split4":
+        kers = phase_conv3x3_kernels_split4(k3.astype(x.dtype))
+        outs = []
+        for idx, (p, q) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            outs.append(jax.lax.conv_general_dilated(
+                x, kers[idx], (1, 1),
+                ((1, 0) if p == 0 else (0, 1),
+                 (1, 0) if q == 0 else (0, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        y = jnp.concatenate(outs, axis=-1)
+    elif form == "splitpad":
+        # one VALID (2,2) conv on the 1-px zero-padded input computes all
+        # four phases at shifted offsets: phase (p, q) of low-res (i, j)
+        # reads padded rows i+p..i+p+1, cols j+q..j+q+1
+        kers = phase_conv3x3_kernels_split4(k3.astype(x.dtype))
+        co = k3.shape[3]
+        kbig = jnp.concatenate(kers, axis=-1)  # (2,2,4I,4O)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        yy = jax.lax.conv_general_dilated(
+            xp, kbig, (1, 1), ((0, 0), (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    y0 = conv(x, k_p0, (1, 0))  # blocks (0,0), (0,1)
-    y1 = conv(x, k_p1, (0, 1))  # blocks (1,0), (1,1)
-    y = jnp.concatenate([y0, y1], axis=-1)
+        h, w = x.shape[1], x.shape[2]
+        y = jnp.concatenate(
+            [yy[:, p:p + h, q:q + w,
+                (2 * p + q) * co:(2 * p + q + 1) * co]
+             for p, q in ((0, 0), (0, 1), (1, 0), (1, 1))], axis=-1)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown MARCONET_PHASE_CONV form: {form!r}")
     if bias is not None:
         y = y + jnp.tile(bias.astype(y.dtype), 4)
     return y

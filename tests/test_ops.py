@@ -240,6 +240,26 @@ class TestPhaseLayout:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
 
+    @pytest.mark.parametrize("form", ["split4", "splitpad"])
+    def test_phase_conv3x3_forms_match(self, rng, monkeypatch, form):
+        """The zero-free split formulations (4 x (2,2,4I,O) convs; one
+        padded (2,2,4I,4O) conv + shifted slices) must match the hi-res
+        conv exactly like the dense 2-conv form does."""
+        from marconet_tpu.ops.phase import (phase_conv3x3, phase_pack,
+                                            phase_unpack)
+
+        monkeypatch.setenv("MARCONET_PHASE_CONV", form)
+        y = jnp.asarray(rng.standard_normal((2, 12, 20, 8)), jnp.float32)
+        k3 = jnp.asarray(rng.standard_normal((3, 3, 8, 12)) * 0.2,
+                         jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(12), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            y, k3, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        got = phase_unpack(phase_conv3x3(phase_pack(y), k3, bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
     def test_upconv_phase_matches_separate_path(self, rng):
         from marconet_tpu.ops.phase import (conv3x3_after_upsample2x_phase,
                                             phase_unpack)

@@ -1,15 +1,21 @@
 #!/usr/bin/env python
-"""Per-part timing of the text context encoder on the TPU.
+"""Attribute the encoder's time to its architectural parts at real shapes.
 
-The encoder measures ~15 ms/batch against an 8.4 ms conv FLOP floor
-(BENCH_NOTES.md). This splits it: ResNet-45 backbone (cumulative stage
-prefixes — the 32/64-ch early stages underfill the MXU contraction) vs
-the remainder (ViT head + branches: 64 tokens x 512d, tiny FLOPs,
-small-matmul/latency-bound).
+The encoder measures ~14.9 ms/batch vs an 8.4 ms conv-FLOP floor
+(BENCH_NOTES.md); its FLOPs concentrate in ResNet stages 4-5 (256/512 ch
+at 8 x 512) while the early stages are tiny — this tool splits the gap.
 
-Each chained program carries ~1-3.5 ms of remote-dispatch overhead
-(BENCH_NOTES.md); compare relative numbers. BENCH_BATCH overrides the
-batch (default 16).
+Times, as separate chained jit programs (batch 16, bf16):
+  stem     — conv1 + stage1 (32 ch, 32x512 -> 16x512)
+  stage2   — 4 blocks, 64 ch @ 16x512
+  stage3   — 6 blocks, 128 ch (stride (2,1)) @ 8x512
+  stage4   — 6 blocks, 256 ch @ 8x512
+  stage5   — 3 blocks, 512 ch @ 8x512
+  vit      — patchify + trunk + 3 branches + heads
+
+Each line prints the stage's conv/matmul FLOP floor at the v5e
+197 TFLOP/s bf16 peak. Timings carry ~1-3.5 ms remote-dispatch overhead
+per program (axon tunnel, BENCH_NOTES.md).
 """
 
 import os
@@ -23,7 +29,7 @@ import numpy as np
 PEAK = 197e12
 
 
-def chain_time(step, args0, iters=20):
+def chain_time(step, args0, iters=10):
     x, keep = step(*args0)
     float(keep.mean())
     t0 = time.perf_counter()
@@ -35,88 +41,103 @@ def chain_time(step, args0, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
-def report(name, t, gflop):
-    floor = gflop * 1e9 / PEAK
-    mxu = floor / t * 100 if t > 0 else 0
-    print(f"{name:12s} {t * 1e3:8.2f} ms   floor {floor * 1e3:7.2f} ms"
-          f"   mxu {mxu:5.1f}%", flush=True)
+def report(name, t, gflop_batch):
+    floor = gflop_batch * 1e9 / PEAK
+    util = floor / t * 100
+    print(f"{name:8s} {t * 1e3:8.2f} ms/batch   floor {floor * 1e3:7.2f} ms"
+          f"   mxu {util:5.1f}%", flush=True)
+
+
+def block_gflops(b, h, w, cin, c, strided):
+    """BasicBlock conv FLOPs (GFLOP): 1x1 cin->c, 3x3 c->c (strided),
+    plus the 1x1 projection when shape changes."""
+    ho, wo = (h // 2, w) if strided else (h, w)
+    g = b * h * w * cin * c * 2                 # 1x1
+    g += b * ho * wo * 9 * c * c * 2            # 3x3
+    if strided or cin != c:
+        g += b * ho * wo * cin * c * 2          # projection
+    return g / 1e9
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    from flax import linen as nn
 
     from marconet_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
-
-    from marconet_tpu.models.encoder import ResNet45, TextContextEncoder
+    from marconet_tpu.models.encoder import (BasicBlock, ResNet45,
+                                             TextViTHead)
 
     B = int(os.environ.get("BENCH_BATCH", "16"))
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
-    lq = jnp.asarray(rng.standard_normal((B, 32, 512, 3)) * 0.3, dt)
+    key = jax.random.PRNGKey(0)
 
-    # ---- whole encoder ----------------------------------------------------
-    enc = TextContextEncoder(dtype=dt)
-    pe = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 512, 3), dt))
+    def bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
-    @jax.jit
-    def enc_step(x):
-        logits, locs, w = enc.apply(pe, x)
-        return x + (w.mean() * 0).astype(x.dtype), w
-
-    report("encoder", chain_time(enc_step, (lq,)), 103.8 / 16 * B)
-
-    # ---- ResNet-45 backbone + cumulative stage prefixes -------------------
-    bb = ResNet45(dtype=dt)
-    pb = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 512, 3), dt))
-
-    def conv_gf(h, blocks, cin, cf):
-        """Per-sample conv GFLOPs of one stage (1x1 + 3x3 per block,
-        1x1 projection where the shape changes)."""
-        g = 0.0
-        for bi in range(blocks):
-            ci = cin if bi == 0 else cf
-            g += h * 512 * (ci * cf + 9 * cf * cf) * 2
-            if ci != cf or bi == 0:
-                g += h * 512 * ci * cf * 2  # projection skip (stride/chan)
-        return g / 1e9
-
-    g_stem = 32 * 512 * 9 * 3 * 32 * 2 / 1e9
-    g_stages = [conv_gf(16, 3, 32, 32), conv_gf(16, 4, 32, 64),
-                conv_gf(8, 6, 64, 128), conv_gf(8, 6, 128, 256),
-                conv_gf(8, 3, 256, 512)]
-
-    @jax.jit
-    def bb_step(x):
-        y = bb.apply(pb, x)
-        return x + (y.mean() * 0).astype(x.dtype), y
-
-    report("resnet45", chain_time(bb_step, (lq,)),
-           (g_stem + sum(g_stages)) * B)
-
-    for upto in (1, 2, 3, 4):
-        part = ResNet45(dtype=dt,
-                        stage_blocks=(3, 4, 6, 6, 3)[:upto],
-                        stage_features=(32, 64, 128, 256, 512)[:upto],
-                        stage_strides=((2, 1), (1, 1), (2, 1), (1, 1),
-                                       (1, 1))[:upto])
-        sub = {"params": {k: v for k, v in pb["params"].items()
-                          if k == "conv1" or any(
-                              k.startswith(f"layer{i + 1}_")
-                              for i in range(upto))}}
+    def time_mod(name, mod, x_shape, gflop):
+        x = jnp.asarray(rng.standard_normal(x_shape) * 0.3, dt)
+        params = bf16(mod.init(key, x))
 
         @jax.jit
-        def part_step(x, part=part, sub=sub):
-            y = part.apply(sub, x)
-            return x + (y.mean() * 0).astype(x.dtype), y
+        def step(xx, p):
+            y = mod.apply(p, xx)
+            if isinstance(y, tuple):
+                y = y[0]
+            return xx + (y.mean() * 0).astype(xx.dtype), y
 
-        report(f"stages<={upto}", chain_time(part_step, (lq,)),
-               (g_stem + sum(g_stages[:upto])) * B)
+        t = chain_time(step, (x, params))
+        report(name, t, gflop)
 
-    print("vit+branches = encoder - resnet45 (difference of the rows above)",
-          flush=True)
+    g = B * 32 * 512 * 9 * 3 * 32 * 2 / 1e9
+    g += block_gflops(B, 32, 512, 32, 32, True)
+    g += 2 * block_gflops(B, 16, 512, 32, 32, False)
+    time_mod("stem", ResNet45(stage_blocks=(3,), stage_features=(32,),
+                              stage_strides=((2, 1),), dtype=dt),
+             (B, 32, 512, 3), g)
+
+    def mid_stage(name, blocks, cin, c, h, strided):
+        class Seq(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                for i in range(blocks):
+                    x = BasicBlock(c, strides=(2, 1) if strided and i == 0
+                                   else (1, 1), dtype=dt, name=f"b{i}")(x)
+                return x
+
+        ho = h // 2 if strided else h
+        g = block_gflops(B, h, 512, cin, c, strided)
+        g += (blocks - 1) * block_gflops(B, ho, 512, c, c, False)
+        time_mod(name, Seq(), (B, h, 512, cin), g)
+
+    mid_stage("stage2", 4, 32, 64, 16, False)
+    mid_stage("stage3", 6, 64, 128, 16, True)
+    mid_stage("stage4", 6, 128, 256, 8, False)
+    mid_stage("stage5", 3, 256, 512, 8, False)
+
+    # ViT head: matmul floor ~ params x tokens x 2 (dominated by dense
+    # layers; attention matrices are 64x64 and negligible)
+    head = TextViTHead(dtype=dt)
+    xf = jnp.asarray(rng.standard_normal((B, 8, 512, 512)) * 0.3, dt)
+    pv = bf16(head.init(key, xf))
+    nparams = sum(int(np.prod(v.shape))
+                  for v in jax.tree.leaves(pv["params"]))
+    # tokens: 64 through trunk/cls/w, 16 through locs branch; approximate
+    # with 64 everywhere (upper bound)
+    g_vit = nparams * 64 * B * 2 / 1e9
+
+    @jax.jit
+    def vstep(xx, p):
+        logits, locs, w = head.apply(p, xx)
+        return xx + (logits.mean() * 0).astype(xx.dtype), logits
+
+    t = chain_time(vstep, (xf, pv))
+    report("vit", t, g_vit)
 
 
 if __name__ == "__main__":

@@ -126,20 +126,96 @@ def main():
             y = split16(xx, kk)
             return xx + (y.mean() * 0).astype(xx.dtype), y
 
+        # --- 4-conv (2,2,4I,O) decomposition ---------------------------
+        # one conv per output phase (p, q): row taps di in {-1,0} (p=0)
+        # or {0,1} (p=1), same for columns — a (2,2) window over ALL 4I
+        # packed channels. 9 of 16 tap-slots are nonzero -> 1.78x MACs
+        # (vs 2.67x for the dense 2-conv form), still 4I-channel-wide
+        # contractions.
+        def split4_kernels(kk):
+            ci, co = kk.shape[2], kk.shape[3]
+            kers = []
+            for p in (0, 1):
+                for q in (0, 1):
+                    k = jnp.zeros((2, 2, 4 * ci, co), kk.dtype)
+                    for dy in (-1, 0, 1):
+                        r = (p + dy) % 2
+                        di = (p + dy - r) // 2
+                        ki = di + 1 if p == 0 else di
+                        for dx in (-1, 0, 1):
+                            s = (q + dx) % 2
+                            dj = (q + dx - s) // 2
+                            kj = dj + 1 if q == 0 else dj
+                            blk = 2 * r + s
+                            k = k.at[ki, kj,
+                                     blk * ci:(blk + 1) * ci].add(
+                                kk[dy + 1, dx + 1])
+                    kers.append(k)
+            return kers
+
+        def split4(xx, kk):
+            kers = split4_kernels(kk)
+            outs = []
+            for idx, (p, q) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                pad_h = (1, 0) if p == 0 else (0, 1)
+                pad_w = (1, 0) if q == 0 else (0, 1)
+                outs.append(conv_pq(xx, kers[idx], pad_h, pad_w))
+            return jnp.concatenate(outs, axis=-1)
+
+        @jax.jit
+        def split4_step(xx, kk):
+            y = split4(xx, kk)
+            return xx + (y.mean() * 0).astype(xx.dtype), y
+
+        # --- single padded (2,2,4I,4O) conv + shifted slices -----------
+        # all four output phases share one conv over the (H+2, W+2)
+        # zero-padded input: phase (p, q) is the output shifted by
+        # (p, q). One big MXU-friendly conv (1.78x MACs), then four
+        # slice+concat passes (one relayout).
+        def splitpad(xx, kk):
+            kers = split4_kernels(kk)
+            kbig = jnp.concatenate(kers, axis=-1)  # (2,2,4I,4O)
+            xp = jnp.pad(xx, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                xp, kbig, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # y: (B, H+1, W+1, 4O); phase (p,q) lives at y[p:p+H, q:q+W]
+            h, w = xx.shape[1], xx.shape[2]
+            co = kk.shape[3]
+            return jnp.concatenate(
+                [y[:, p:p + h, q:q + w, (2 * p + q) * co:
+                   (2 * p + q + 1) * co]
+                 for p, q in ((0, 0), (0, 1), (1, 0), (1, 1))], axis=-1)
+
+        @jax.jit
+        def splitpad_step(xx, kk):
+            y = splitpad(xx, kk)
+            return xx + (y.mean() * 0).astype(xx.dtype), y
+
         # correctness vs dense (bf16 tolerance) — jitted: eager ops each
         # compile a one-off remote executable through the tunnel
         @jax.jit
         def check(xx, kk):
             yd = phase_conv3x3(xx, kk)
-            ys = split16(xx, kk)
-            return jnp.max(jnp.abs(yd.astype(jnp.float32) -
-                                   ys.astype(jnp.float32)))
+            errs = []
+            for form in (split16, split4, splitpad):
+                ys = form(xx, kk)
+                errs.append(jnp.max(jnp.abs(yd.astype(jnp.float32) -
+                                            ys.astype(jnp.float32))))
+            return jnp.stack(errs)
 
-        print(f"split16 maxerr vs dense: "
-              f"{float(check(x[:1], k3)):.4g}", flush=True)
+        errs = [float(e) for e in check(x[:1], k3)]
+        print(f"maxerr vs dense (split16/split4/splitpad): "
+              f"{errs[0]:.4g} {errs[1]:.4g} {errs[2]:.4g}", flush=True)
 
         t = chain_time(split16_step, (x, k3))
         print(f"split 16-conv           {t * 1e3:7.2f} ms "
+              f"(true-mxu {floor / t * 100:5.1f}%)", flush=True)
+        t = chain_time(split4_step, (x, k3))
+        print(f"split 4-conv (2,2)      {t * 1e3:7.2f} ms "
+              f"(true-mxu {floor / t * 100:5.1f}%)", flush=True)
+        t = chain_time(splitpad_step, (x, k3))
+        print(f"padded 1-conv (2,2,4O)  {t * 1e3:7.2f} ms "
               f"(true-mxu {floor / t * 100:5.1f}%)", flush=True)
 
 
