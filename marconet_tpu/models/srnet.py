@@ -71,7 +71,18 @@ class SNStack(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, *, kernels_only: bool = False):
+        if kernels_only:
+            # normalized (w, bias) of both convs, without applying them —
+            # for the paired scale/shift formulation (see SFTFusion)
+            k1 = SNConv(self.features, update_stats=self.update_stats,
+                        dtype=self.dtype, name="conv1")(
+                x, kernels_only=True)
+            k2 = SNConv(self.features, update_stats=self.update_stats,
+                        dtype=self.dtype, name="conv2")(
+                jnp.zeros((1, 1, 1, self.features), x.dtype),
+                kernels_only=True)
+            return k1, k2
         x = SNConv(self.features, update_stats=self.update_stats,
                    dtype=self.dtype, name="conv1")(x)
         if mask is not None:
@@ -176,10 +187,38 @@ class SFTFusion(nn.Module):
                               update_stats=self.update_stats,
                               dtype=self.dtype, name="fuse")(
             jnp.concatenate([adain, lq_f], axis=-1), mask=m)
-        scale = SNStack(self.features, update_stats=self.update_stats,
-                        dtype=self.dtype, name="scale")(fuse, mask=m)
-        shift = SNStack(self.features, update_stats=self.update_stats,
-                        dtype=self.dtype, name="shift")(fuse, mask=m)
+        if os.environ.get("MARCONET_SFT_PAIR", "1") == "1":
+            # paired formulation: scale/conv1 and shift/conv1 both read
+            # `fuse`, so run them as ONE 2F-wide conv (a conv distributes
+            # over output-channel concat — exact) — one pass over the
+            # ~0.5 GB `fuse` tensor instead of two, and a wider MXU
+            # contraction. Parameter tree identical to the plain path.
+            fs = self.features
+            (w1s, b1s), (w2s, b2s) = SNStack(
+                fs, update_stats=self.update_stats, dtype=self.dtype,
+                name="scale")(fuse, kernels_only=True)
+            (w1h, b1h), (w2h, b2h) = SNStack(
+                fs, update_stats=self.update_stats, dtype=self.dtype,
+                name="shift")(fuse, kernels_only=True)
+
+            def conv(v, w):
+                return jax.lax.conv_general_dilated(
+                    v, w, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            y = conv(fuse.astype(self.dtype),
+                     jnp.concatenate([w1s, w1h], axis=-1)) \
+                + jnp.concatenate([b1s, b1h])
+            y = leaky_relu(y * m.astype(y.dtype))
+            scale = conv(y[..., :fs], w2s) + b2s
+            shift = conv(y[..., fs:], w2h) + b2h
+            scale = scale * m.astype(scale.dtype)
+            shift = shift * m.astype(shift.dtype)
+        else:
+            scale = SNStack(self.features, update_stats=self.update_stats,
+                            dtype=self.dtype, name="scale")(fuse, mask=m)
+            shift = SNStack(self.features, update_stats=self.update_stats,
+                            dtype=self.dtype, name="shift")(fuse, mask=m)
         out_win = (lq_f * scale + shift).reshape(b, n, h, win, c)
 
         if pallas_sft.use_pallas_sft(self.update_stats, c) \

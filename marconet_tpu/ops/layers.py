@@ -215,7 +215,7 @@ class SNConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, kernels_only: bool = False):
         in_features = x.shape[-1] // 4 if self.phase_input \
             else x.shape[-1]
         kh, kw = self.kernel_size
@@ -258,6 +258,17 @@ class SNConv(nn.Module):
             v_var.value = v
         sigma = jnp.dot(u, w_mat @ v)
         w = (kernel / sigma).astype(self.dtype)
+
+        if kernels_only:
+            # return the normalized kernel + bias without applying the
+            # conv — lets callers concatenate kernels of sibling SNConvs
+            # that read the same input into ONE wider conv (exact: a conv
+            # distributes over output-channel concatenation). `x` is used
+            # for its channel count only.
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,)).astype(self.dtype) \
+                if self.use_bias else None
+            return w, bias
 
         if self.pre_upsample:
             assert self.kernel_size == (3, 3) and self.strides == (1, 1)

@@ -37,6 +37,9 @@ class LoopConfig:
     pretrain_dir: Optional[str] = None
     # opt-in to training without pretrained LPIPS VGG weights
     allow_random_lpips: bool = False
+    # device count for the data-parallel mesh (reference `num_gpu`,
+    # train.yml:4); None = all visible devices
+    num_devices: Optional[int] = None
 
 
 @dataclass
@@ -107,5 +110,7 @@ def load_config(path: str) -> FullConfig:
         corpus_paths=corpus,
         pretrain_dir=_get(raw, "path.pretrain_dir"),
         allow_random_lpips=bool(t.get("allow_random_lpips", False)),
+        num_devices=None if str(raw.get("num_gpu", "auto")) == "auto"
+        else int(raw["num_gpu"]),
     )
     return FullConfig(train=train, loop=loop, raw=raw)

@@ -126,7 +126,7 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     os.makedirs(run_dir, exist_ok=True)
 
-    mesh = make_mesh()
+    mesh = make_mesh(loop.num_devices)
     n_dev = mesh.devices.size
     global_batch = loop.batch_size * n_dev
     print(f"mesh: {n_dev} device(s); global batch {global_batch}")
@@ -151,7 +151,19 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
         if lpips_vars is not None else None
 
     trainer = MARCONetTrainer(config.train, lpips_variables=lpips_vars)
-    state = trainer.init_state(jax.random.PRNGKey(loop.seed))
+
+    # jit the whole init: one compiled program instead of hundreds of
+    # small dispatches (each SNConv init runs a 15-step power iteration;
+    # eager init of the 5-net state measured ~10x slower — same trick as
+    # tools/dryrun_worker.py). init_state stores the LPIPS variables on
+    # the trainer as a side effect — under jit that write holds tracers,
+    # so return them explicitly and store the concrete values.
+    def make_state(key):
+        st = trainer.init_state(key)
+        return st, trainer.lpips_variables
+
+    state, trainer.lpips_variables = jax.jit(make_state)(
+        jax.random.PRNGKey(loop.seed))
 
     start_step = 0
     if loop.resume_state:

@@ -17,7 +17,7 @@ class TestYOLO11:
     def yolo(self):
         m = YOLO11(nc=1)
         x = jnp.zeros((1, 192, 192, 3))
-        variables = m.init(jax.random.PRNGKey(0), x)
+        variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         return m, variables
 
     def test_forward_shapes(self, yolo):

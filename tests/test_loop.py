@@ -29,9 +29,15 @@ def test_batch_loader_produces_batches():
 def _smoke_config(tmp_path, **loop_kw) -> FullConfig:
     from marconet_tpu.train.train_step import TrainConfig
 
+    # num_devices=1: the driver-mechanics coverage here (TB, checkpoint
+    # save/resume, LPIPS gate) is device-count independent, and the
+    # 8-virtual-device DP step is already exercised by
+    # test_train.TestTrainStepReduced::test_step_on_8_device_mesh_reduced
+    # — on this 1-core host a global batch of 8 made this test ~3x slower
     loop = LoopConfig(name="smoke", num_workers=1, batch_size=1,
                       print_freq=1, save_freq=2, val_freq=2,
                       use_tb_logger=True, allow_random_lpips=True,
+                      num_devices=1,
                       experiments_root=str(tmp_path), **loop_kw)
     return FullConfig(train=TrainConfig(width=0.0625, max_chars=4),
                       loop=loop)

@@ -29,7 +29,10 @@ class TestEncoder:
     @pytest.fixture(scope="class")
     def enc(self, small_batch):
         m = TextContextEncoder()
-        return m, m.init(jax.random.PRNGKey(0), small_batch)
+        # jitted init: one compiled (persistently cached) program instead
+        # of hundreds of small eager dispatches — full-size inits dominate
+        # these fixtures' wall time on the 1-core CI host
+        return m, jax.jit(m.init)(jax.random.PRNGKey(0), small_batch)
 
     def test_param_count_matches_reference(self, enc):
         # reference prints 43.06 M (test_sr.py:59); exact: 43,060,096
@@ -53,7 +56,7 @@ class TestPriorGenerator:
         m = StructurePriorGenerator()
         styles = jnp.zeros((2, 512))
         labels = jnp.array([3, 77], jnp.int32)
-        return m, m.init(jax.random.PRNGKey(0), styles, labels)
+        return m, jax.jit(m.init)(jax.random.PRNGKey(0), styles, labels)
 
     def test_param_count_matches_reference(self, gen):
         # reference prints 27.97 M (test_sr.py:60)
@@ -88,8 +91,8 @@ class TestSRNet:
                                               dtype=np.float32) * 0.1)
         locs = jnp.asarray(
             rng.uniform(0.05, 0.95, (1, 32)).astype(np.float32))
-        variables = m.init(jax.random.PRNGKey(0), small_batch, p64, p32,
-                           locs)
+        variables = jax.jit(m.init)(jax.random.PRNGKey(0), small_batch,
+                                    p64, p32, locs)
         return m, variables, p64, p32, locs
 
     def test_param_count_matches_reference(self, srn):
@@ -120,9 +123,16 @@ class TestSRNet:
 
 
 class TestPipeline:
-    def test_restore_shapes(self):
+    @pytest.fixture(scope="class")
+    def full_net(self):
+        """One shared full-size pipeline init (jitted → persistently
+        cached) for the full-width TestPipeline cases."""
         net = MARCONet()
-        params = net.init(jax.random.PRNGKey(0))
+        params = jax.jit(net.init)(jax.random.PRNGKey(0))
+        return net, params
+
+    def test_restore_shapes(self, full_net):
+        net, params = full_net
         rng = np.random.default_rng(3)
         lq = jnp.asarray(rng.uniform(-1, 1, (1, 32, 512, 3))
                          .astype(np.float32))
@@ -175,7 +185,7 @@ class TestPipeline:
         parallelism differently per program, reassociating reductions —
         so the assertion allows float-noise-level differences."""
         net = MARCONet(width=0.0625)
-        params = net.init(jax.random.PRNGKey(0))
+        params = jax.jit(net.init)(jax.random.PRNGKey(0))
         rng = np.random.default_rng(0)
         lq = jnp.asarray(rng.uniform(-1, 1, (1, 32, 512, 3))
                          .astype(np.float32))
@@ -194,9 +204,8 @@ class TestPipeline:
                                    np.asarray(out16.sr),
                                    rtol=0, atol=5e-5)
 
-    def test_interpolate_styles(self):
-        net = MARCONet()
-        params = net.init(jax.random.PRNGKey(1))
+    def test_interpolate_styles(self, full_net):
+        net, params = full_net
         w1 = jnp.ones((512,)) * 0.1
         w2 = -jnp.ones((512,)) * 0.1
         labels = jnp.array([1, 2], jnp.int32)
@@ -232,3 +241,35 @@ class TestPhaseTail:
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4)
+
+
+class TestSFTPair:
+    def test_paired_scale_shift_equivalent(self, monkeypatch):
+        """The paired scale/shift formulation (one 2F-wide conv over
+        `fuse`, then per-half conv2) is an exact re-bracketing of the two
+        separate SNStacks — same parameter tree, same numerics."""
+        from marconet_tpu.models.srnet import SFTFusion
+
+        rng = np.random.default_rng(7)
+        b, n, h, hw, c = 1, 2, 8, 8, 16
+        canvas = jnp.asarray(rng.standard_normal((b, h, 8 * hw, c)) * 0.3,
+                             jnp.float32)
+        priors = jnp.asarray(
+            rng.standard_normal((b, n, h, 2 * hw, c)) * 0.2, jnp.float32)
+        locs = jnp.asarray([[0.3, 0.1, 0.9, 0.1]], jnp.float32)
+        mask = jnp.ones((b, n), jnp.float32)
+
+        mod = SFTFusion(half_width=hw, features=c)
+        monkeypatch.setenv("MARCONET_SFT_PAIR", "0")
+        variables = mod.init(jax.random.PRNGKey(1), canvas, priors, locs,
+                             mask)
+        ref = mod.apply(variables, canvas, priors, locs, mask)
+
+        monkeypatch.setenv("MARCONET_SFT_PAIR", "1")
+        variables2 = mod.init(jax.random.PRNGKey(1), canvas, priors, locs,
+                              mask)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(variables2)
+        got = mod.apply(variables, canvas, priors, locs, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)

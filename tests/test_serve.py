@@ -29,7 +29,7 @@ class TestRestorerReduced:
 
     def test_bucketed_restore_and_page(self):
         net = MARCONet(width=0.0625)
-        params = net.init(jax.random.PRNGKey(0))
+        params = jax.jit(net.init)(jax.random.PRNGKey(0))
         restorer = TextPageRestorer(net, params, buckets=(2,))
         rng = np.random.default_rng(0)
         reqs = [LineRequest(

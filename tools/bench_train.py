@@ -44,7 +44,15 @@ def main():
           flush=True)
     trainer = MARCONetTrainer(TrainConfig(), dtype=jnp.bfloat16)
     t0 = time.time()
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    # jit the whole init: one compiled program instead of hundreds of
+    # small remote dispatches (eager init measured 585 s through the
+    # tunnel at width 1.0 — same trick as tools/dryrun_worker.py)
+    def make_state(key):
+        st = trainer.init_state(key)
+        return st, trainer.lpips_variables
+
+    state, trainer.lpips_variables = jax.jit(make_state)(
+        jax.random.PRNGKey(0))
     print(f"init_state {time.time() - t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)
