@@ -67,14 +67,22 @@ def test_prior_conversion_end_to_end(rng):
                                rtol=1e-3, atol=2e-2)
 
 
+@pytest.fixture(scope="module")
+def srnet_converted():
+    """One fabricated srnet state dict + conversion shared by the three
+    window-geometry cases (the conversion itself is case-independent)."""
+    rng = np.random.default_rng(42)
+    sd = oracle.build_srnet_state(rng)
+    return sd, convert_srnet(sd)
+
+
 @pytest.mark.parametrize("centers", [
     [0.1, 0.35, 0.62, 0.9],        # interior chars
     [0.01, 0.5, 0.99],             # truncated edge windows
     [0.3, 0.317, 0.335, 0.36],     # heavily overlapping windows
 ])
-def test_srnet_conversion_end_to_end(rng, centers):
-    sd = oracle.build_srnet_state(rng)
-    variables = convert_srnet(sd)
+def test_srnet_conversion_end_to_end(rng, srnet_converted, centers):
+    sd, variables = srnet_converted
 
     n = len(centers)
     lq = rng.uniform(-1, 1, (1, 32, 512, 3)).astype(np.float32)

@@ -230,10 +230,12 @@ class TestPhaseTail:
 
         plain = StructurePriorSRNet(dim=32, phase_tail=False)
         phased = StructurePriorSRNet(dim=32, phase_tail=True)
-        variables = plain.init(jax.random.PRNGKey(0), lq, p64, p32, locs)
+        variables = jax.jit(plain.init)(jax.random.PRNGKey(0), lq, p64,
+                                        p32, locs)
         # identical parameter trees: a converted checkpoint loads into
-        # either graph
-        variables2 = phased.init(jax.random.PRNGKey(0), lq, p64, p32, locs)
+        # either graph (eval_shape: abstract trace, no compile/execute)
+        variables2 = jax.eval_shape(phased.init, jax.random.PRNGKey(0),
+                                    lq, p64, p32, locs)
         assert jax.tree_util.tree_structure(variables) == \
             jax.tree_util.tree_structure(variables2)
         ref = plain.apply(variables, lq, p64, p32, locs)
