@@ -14,7 +14,7 @@ a clean host pipeline:
   (``:263-280``);
 * torchvision-style brightness/contrast/saturation jitter in random order
   (``:123-143,364-369``);
-* degradation choice: 45% Real-ESRGAN / 44% BSRGAN / 1% clean with
+* degradation choice: 55% Real-ESRGAN / 44% BSRGAN / 1% clean with
   insf drawn from {1,2,2,3,3,3}; exceptions fall back to clean
   (``:373-394``);
 * LQ resized to height 32 with a random interpolation, GT/mask/LQ

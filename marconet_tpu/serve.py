@@ -151,17 +151,102 @@ class TextPageRestorer:
                     priors=priors[i, :n_chars]))
         return results
 
-    def restore_page(self, page_rgb: np.ndarray,
-                     line_boxes: Sequence[Sequence[int]],
-                     texts: Optional[Sequence[str]] = None
-                     ) -> List[LineResult]:
-        """Restore all text regions of a page: crop each line box, split
-        over-wide lines, and run the bucketed batch path."""
+    def _page_requests(self, page_rgb: np.ndarray,
+                       line_boxes: Sequence[Sequence[int]],
+                       texts: Optional[Sequence[str]],
+                       char_boxes) -> Tuple[List[LineRequest],
+                                            List[List[int]]]:
+        """Build per-segment requests for a page.
+
+        Over-wide lines are split into <=512 px segments
+        (``split_wide_line``); a known text is divided among the segments
+        by the x-range each character's box center falls into (boxes
+        shifted into segment coordinates), so every segment restores only
+        its own characters. Returns the flat request list plus, per input
+        line box, the request indices of its segments (in x order).
+        """
         requests: List[LineRequest] = []
+        groups: List[List[int]] = []
         for i, (x1, y1, x2, y2) in enumerate(line_boxes):
             crop = page_rgb[y1:y2, x1:x2]
-            for seg, _ in split_wide_line(crop):
-                requests.append(LineRequest(
-                    image=seg,
-                    text=None if texts is None else texts[i]))
-        return self.restore_lines(requests)
+            segs = split_wide_line(crop)
+            text_i = None if texts is None else texts[i]
+            cb = None if char_boxes is None else char_boxes[i]
+            idxs: List[int] = []
+            for k, (seg, xoff) in enumerate(segs):
+                seg_w = seg.shape[1]
+                if text_i is None:
+                    # front-end mode: detection runs per segment
+                    req = LineRequest(image=seg)
+                elif len(segs) == 1:
+                    req = LineRequest(image=seg, text=text_i, boxes=cb)
+                elif cb is not None:
+                    # assign each character to the segment containing its
+                    # box center; first/last segments absorb out-of-range
+                    # centers so no character is dropped
+                    chars: List[str] = []
+                    boxes: List[Tuple[float, float, float, float]] = []
+                    for ch, (bx1, by1, bx2, by2) in zip(text_i, cb):
+                        c = (bx1 + bx2) / 2.0
+                        in_seg = xoff <= c < xoff + seg_w
+                        in_seg |= (k == 0 and c < xoff)
+                        in_seg |= (k == len(segs) - 1 and c >= xoff + seg_w)
+                        if in_seg:
+                            boxes.append((max(bx1 - xoff, 0.0), by1,
+                                          min(bx2 - xoff, float(seg_w)),
+                                          by2))
+                            chars.append(ch)
+                    req = LineRequest(image=seg, text="".join(chars),
+                                      boxes=boxes)
+                elif self.frontend is not None:
+                    # no character geometry: fall back to per-segment
+                    # detection rather than forcing the whole line's text
+                    # into each segment at bogus locations
+                    req = LineRequest(image=seg)
+                else:
+                    raise ValueError(
+                        f"line {i} needs splitting into {len(segs)} "
+                        "segments, but its text cannot be divided: pass "
+                        "char_boxes (xyxy in line-crop coordinates, "
+                        "reading order) or configure a front-end")
+                idxs.append(len(requests))
+                requests.append(req)
+            groups.append(idxs)
+        return requests, groups
+
+    def restore_page(self, page_rgb: np.ndarray,
+                     line_boxes: Sequence[Sequence[int]],
+                     texts: Optional[Sequence[str]] = None,
+                     char_boxes: Optional[Sequence[Optional[
+                         Sequence[Sequence[float]]]]] = None
+                     ) -> List[LineResult]:
+        """Restore all text regions of a page.
+
+        Crops each line box, splits over-wide lines into <=512 px
+        segments, restores everything through the bucketed batch path,
+        and reassembles split segments — returning exactly ONE
+        ``LineResult`` per input line box, its ``sr`` the stitched
+        whole-line image (the reference instead refuses lines wider than
+        512 px at height 32, ``test_sr.py:104-110``).
+
+        Args:
+          texts: optional known text per line (manual mode).
+          char_boxes: optional per-line character boxes (xyxy, line-crop
+            coordinates, reading order matching ``texts[i]``) used to
+            divide a known text among segments. Without them, split
+            lines fall back to the configured front-end.
+        """
+        requests, groups = self._page_requests(page_rgb, line_boxes,
+                                               texts, char_boxes)
+        seg_results = self.restore_lines(requests)
+        out: List[LineResult] = []
+        for idxs in groups:
+            parts = [seg_results[j] for j in idxs]
+            if len(parts) == 1:
+                out.append(parts[0])
+                continue
+            out.append(LineResult(
+                sr=np.concatenate([p.sr for p in parts], axis=1),
+                text="".join(p.text for p in parts),
+                priors=np.concatenate([p.priors for p in parts], axis=0)))
+        return out

@@ -41,13 +41,48 @@ class TestRestorerReduced:
             assert r.sr.shape[0] == 128
             assert r.priors.shape[0] == 2
 
-        # page path: two line boxes, one over-wide (splits into segments)
+        # page path: two line boxes, one over-wide. The wide line's text
+        # is divided among its segments by char-box center, and the
+        # segments are reassembled into ONE result per input box.
         page = rng.integers(0, 255, (300, 3000, 3)).astype(np.uint8)
         boxes = [(0, 0, 900, 64), (0, 100, 3000, 164)]
-        res = restorer.restore_page(page, boxes, texts=["AB", "CD"])
-        # box 2 is w32 = 1450 -> 3 segments; total 1 + 3 results
-        assert len(res) == 4
+        # box 2 is 3000 px at h=64 -> w32 = 1500 -> 3 segments of 1000 px
+        wide_boxes = [(60 + 480 * i, 8, 420 + 480 * i, 56)
+                      for i in range(6)]  # centers 240,720,...,2640
+        res = restorer.restore_page(
+            page, boxes, texts=["AB", "CDEFGH"],
+            char_boxes=[None, wide_boxes])
+        assert len(res) == 2
         assert all(r.sr.shape[0] == 128 for r in res)
+        assert res[1].text == "CDEFGH"
+        assert res[1].priors.shape[0] == 6
+        # stitched whole-line SR: 3 segments x 1000 px at h=64 -> each
+        # shows 4 * (1000 * 32 / 64) = 2000 px of x4 output
+        assert res[1].sr.shape[1] == 3 * 2000
+
+    def test_page_request_splitting(self):
+        restorer = TextPageRestorer(net=None, params=None)
+        rng = np.random.default_rng(1)
+        page = rng.integers(0, 255, (100, 3000, 3)).astype(np.uint8)
+        boxes = [(0, 0, 3000, 64)]
+        # centers: 100/900 (seg 0), 1100/1900 (seg 1), 2100/2950 (seg 2);
+        # the last box pokes past the segment edge and must be clipped
+        cb = [[(50, 0, 150, 60), (850, 0, 950, 60),
+               (1050, 0, 1150, 60), (1850, 0, 1950, 60),
+               (2050, 0, 2150, 60), (2920, 0, 2980, 60)]]
+        reqs, groups = restorer._page_requests(
+            page, boxes, texts=["ABCDEF"], char_boxes=cb)
+        assert groups == [[0, 1, 2]]
+        assert [r.text for r in reqs] == ["AB", "CD", "EF"]
+        for r in reqs:
+            for bx1, _, bx2, _ in r.boxes:
+                assert 0 <= bx1 <= bx2 <= r.image.shape[1]
+        # segment-local coordinates: seg 1 starts at x=1000
+        assert reqs[1].boxes[0][0] == 50
+        # front-end-less split with no char geometry must refuse loudly
+        with pytest.raises(ValueError, match="char_boxes"):
+            restorer._page_requests(page, boxes, texts=["ABCDEF"],
+                                    char_boxes=None)
 
 
 @pytest.mark.slow

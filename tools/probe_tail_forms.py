@@ -47,7 +47,7 @@ def main():
     import jax.numpy as jnp
 
     from marconet_tpu.utils.jaxcache import enable_compilation_cache
-    from marconet_tpu.ops.phase import phase_conv3x3, phase_conv3x3_kernels
+    from marconet_tpu.ops.phase import phase_conv3x3_kernels
 
     enable_compilation_cache()
 
@@ -63,8 +63,8 @@ def main():
         hires_gf = B * 128 * 2048 * 9 * CI * CO * 2 / 1e9
         bw_gb = (B * 64 * 1024 * 4 * (CI + CO) * 2) / 1e9
         print(f"--- {CI}->{CO} hi-res-equivalent @128x2048 "
-              f"(MXU floor {hires_gf * 1e6 / PEAK:.2f} ms, "
-              f"BW floor {bw_gb * 1e9 / HBM_BW:.2f} ms) ---", flush=True)
+              f"(MXU floor {hires_gf * 1e12 / PEAK:.2f} ms, "
+              f"BW floor {bw_gb * 1e12 / HBM_BW:.2f} ms) ---", flush=True)
 
         def report(name, t, gf):
             print(f"{name:10s} {t * 1e3:7.2f} ms   "
@@ -83,7 +83,18 @@ def main():
 
         @jax.jit
         def dense2(xx, kk):
-            y = phase_conv3x3(xx, kk)
+            # built from the kernels directly (not phase_conv3x3) so the
+            # row times the dense2 form even when MARCONET_PHASE_CONV
+            # selects another formulation
+            k_p0, k_p1 = phase_conv3x3_kernels(kk.astype(xx.dtype))
+
+            def conv(v, k, pad_h):
+                return jax.lax.conv_general_dilated(
+                    v, k, (1, 1), (pad_h, (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            y = jnp.concatenate([conv(xx, k_p0, (1, 0)),
+                                 conv(xx, k_p1, (0, 1))], axis=-1)
             return xx + (y.mean() * 0).astype(xx.dtype), y
 
         t = chain_time(dense2, (x, k3))
