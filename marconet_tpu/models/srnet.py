@@ -52,6 +52,7 @@ from marconet_tpu.ops.layers import (
 )
 from marconet_tpu.ops.phase import phase_unpack
 from marconet_tpu.ops.resize import upsample2x_bilinear
+from marconet_tpu.ops.window import gather_windows, gather_windows_per_slot
 
 Dtype = Any
 
@@ -116,14 +117,10 @@ def _window_geometry(locs, half_width: int, width: int):
     return x1, L, y1
 
 
-def _gather_windows(canvas, starts, win: int):
-    """canvas (B, H, W+win, C), starts (B, N) -> (B, N, H, win, C)."""
-
-    def one(c, s):  # c: (H, Wp, C), s: scalar
-        return jax.lax.dynamic_slice_in_dim(c, s, win, axis=1)
-
-    return jax.vmap(  # over batch
-        jax.vmap(one, in_axes=(None, 0)), in_axes=(0, 0))(canvas, starts)
+# window gathers live in ops/window.py: batched dynamic-slice forward
+# (the fastest formulation probed) with a custom VJP whose scatter-add
+# transpose is a one-hot MXU matmul instead of N sequential
+# dynamic-update-slice canvas passes (the round-3 G-phase bottleneck).
 
 
 class SFTFusion(nn.Module):
@@ -166,33 +163,69 @@ class SFTFusion(nn.Module):
         # windows from the right-padded canvas — constant width `win`;
         # hw pad suffices: x1 <= W - hw - 1, so x1 + win <= W + hw - 1
         padded = jnp.pad(canvas, ((0, 0), (0, 0), (0, hw), (0, 0)))
-        lq_win = _gather_windows(padded, x1, win)  # (B, N, H, win, C)
+        lq_win = gather_windows(padded, x1, win)  # (B, N, H, win, C)
 
         # prior crop: cols y1..y1+L map to window cols 0..L; y1 <= hw
         prior_pad = jnp.pad(priors, ((0, 0), (0, 0), (0, 0), (0, hw),
                                      (0, 0)))
-
-        def crop(p, s):  # p: (H, 2*win, C)
-            return jax.lax.dynamic_slice_in_dim(p, s, win, axis=1)
-
-        prior_win = jax.vmap(jax.vmap(crop))(prior_pad, y1)
+        prior_win = gather_windows_per_slot(prior_pad, y1, win)
 
         lq_f, prior_f = flat(lq_win), flat(prior_win)
         lq_f = lq_f * m.astype(lq_f.dtype)
         prior_f = prior_f * m.astype(prior_f.dtype)
 
-        adain = adaptive_instance_norm(prior_f, lq_f, prior_mask=m,
-                                       lq_mask=m)
-        fuse = ResTextBlockV2(self.features,
-                              update_stats=self.update_stats,
-                              dtype=self.dtype, name="fuse")(
-            jnp.concatenate([adain, lq_f], axis=-1), mask=m)
-        if os.environ.get("MARCONET_SFT_PAIR", "1") == "1":
+        if os.environ.get("MARCONET_SFT_FOLD", "0") == "1":
+            # folded formulation: AdaIN + the fuse block's norm1 collapse
+            # into one per-channel affine (AdaIN is a per-channel affine
+            # of the raw prior windows, and norm1's group stats of that
+            # affine follow analytically from the same per-channel
+            # moments) — one moments pass + one fused affine/swish pass
+            # instead of materializing the AdaIN output and re-reducing
+            # the 2F-channel concat. Exact re-bracketing
+            # (tests/test_models.py::TestSFTFold).
+            zf = prior_f.astype(jnp.float32)
+            lf = lq_f.astype(jnp.float32)
+            bn = b * n
+            nvalid = m.astype(jnp.float32).reshape(bn, win).sum(-1) * h
+            n1 = jnp.maximum(nvalid, 1.0)[:, None]       # (BN, 1)
+            pm = zf.sum(axis=(1, 2)) / n1                # (BN, C)
+            pe2 = jnp.square(zf).sum(axis=(1, 2)) / n1
+            lm = lf.sum(axis=(1, 2)) / n1
+            le2 = jnp.square(lf).sum(axis=(1, 2)) / n1
+            corr = n1 / jnp.maximum(n1 - 1.0, 1.0)       # unbiased (AdaIN)
+            pstd = jnp.sqrt(jnp.maximum(pe2 - jnp.square(pm), 0.0)
+                            * corr + 1e-5)
+            lstd = jnp.sqrt(jnp.maximum(le2 - jnp.square(lm), 0.0)
+                            * corr + 1e-5)
+            a_aff = lstd / pstd
+            b_aff = lm - pm * a_aff
+            mu_cat = jnp.concatenate([a_aff * pm + b_aff, lm], axis=-1)
+            e2_cat = jnp.concatenate(
+                [jnp.square(a_aff) * pe2 + 2.0 * a_aff * b_aff * pm
+                 + jnp.square(b_aff), le2], axis=-1)
+            fuse = ResTextBlockV2(self.features,
+                                  update_stats=self.update_stats,
+                                  dtype=self.dtype, name="fuse")(
+                None, mask=m,
+                fold={"z": prior_f, "lq": lq_f, "a": a_aff, "b": b_aff,
+                      "mu": mu_cat, "e2": e2_cat})
+        else:
+            adain = adaptive_instance_norm(prior_f, lq_f, prior_mask=m,
+                                           lq_mask=m)
+            fuse = ResTextBlockV2(self.features,
+                                  update_stats=self.update_stats,
+                                  dtype=self.dtype, name="fuse")(
+                jnp.concatenate([adain, lq_f], axis=-1), mask=m)
+        if os.environ.get("MARCONET_SFT_PAIR", "0") == "1":
             # paired formulation: scale/conv1 and shift/conv1 both read
             # `fuse`, so run them as ONE 2F-wide conv (a conv distributes
             # over output-channel concat — exact) — one pass over the
             # ~0.5 GB `fuse` tensor instead of two, and a wider MXU
             # contraction. Parameter tree identical to the plain path.
+            # Chip A/B (round 4): e2e 105.6 paired vs 107.8 separate —
+            # the 2F-wide conv loses to two F-wide convs at these shapes
+            # (BENCH_NOTES.md), so the default is OFF; kept opt-in for
+            # other shapes.
             fs = self.features
             (w1s, b1s), (w2s, b2s) = SNStack(
                 fs, update_stats=self.update_stats, dtype=self.dtype,
@@ -253,9 +286,16 @@ class SFTFusion(nn.Module):
         sel_col = (rel[..., None] ==
                    jnp.arange(win)[None, None, None, :])          # (B,W,N,win)
         sel = (sel_slot[..., None] & sel_col).astype(canvas.dtype)
-        flat = out_win.transpose(0, 1, 3, 2, 4).reshape(b, n * win, h * c)
         # each output column selects exactly one window column, so
         # low-precision accumulation is exact here
+        if os.environ.get("MARCONET_SFT_WB", "flat") == "direct":
+            # contract (n, win) directly against the windows' native
+            # (B, N, H, win, C) layout — no explicit pre-transpose; XLA
+            # picks the contraction layout
+            res = jnp.einsum("bwnv,bnhvc->bhwc", sel, out_win,
+                             preferred_element_type=canvas.dtype)
+            return canvas + res
+        flat = out_win.transpose(0, 1, 3, 2, 4).reshape(b, n * win, h * c)
         res = jnp.einsum("bwk,bkf->bwf", sel.reshape(b, width, n * win),
                          flat, preferred_element_type=canvas.dtype)
         res = res.reshape(b, width, h, c)

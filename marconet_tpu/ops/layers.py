@@ -310,11 +310,18 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, kernels_only: bool = False):
         in_features = x.shape[-1]
         kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, in_features, self.features))
+        if kernels_only:
+            # (kernel, bias) without applying the conv — for callers that
+            # re-bracket the conv into per-sample-scaled matmuls (the
+            # folded SFT skip path); `x` donates the channel count only
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,)) if self.use_bias else None
+            return kernel, bias
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=self.strides,
@@ -349,7 +356,9 @@ class ResTextBlockV2(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_in, mask=None):
+    def __call__(self, x_in, mask=None, fold=None):
+        if fold is not None:
+            return self._folded(fold, mask)
         if self.phase:
             assert mask is None, "phase mode has no windowed-mask use"
             return self._phase(x_in)
@@ -372,6 +381,85 @@ class ResTextBlockV2(nn.Module):
             if mask is not None:
                 x_in = x_in * mask.astype(x_in.dtype)
         return x + x_in
+
+    def _folded(self, fold, mask):
+        """AdaIN + norm1 collapsed into one per-channel affine (SFT fold).
+
+        The SFT fuse block's input is ``concat([adain(z, lq), lq])``;
+        AdaIN is a per-(sample, channel) affine of the raw prior windows
+        ``z``, and norm1's group statistics of that affine are exactly
+        derivable from the per-channel moments AdaIN already needs. So
+        the caller passes the raw windows plus the analytic moments and
+        this path applies ONE fused affine+swish pass — never
+        materializing the AdaIN output or re-reading the concat for
+        norm1's statistics. conv1/norm2/conv2 run unchanged; the
+        ``conv_out`` skip is re-bracketed into per-sample-scaled
+        matmuls on the raw inputs. Exact up to float reassociation
+        (pinned in tests/test_models.py::TestSFTFold).
+
+        fold keys: ``z``/``lq`` (BN, H, win, C) masked raw windows,
+        ``a``/``b`` (BN, C) f32 AdaIN affine, ``mu``/``e2`` (BN, 2C)
+        f32 per-channel valid-position mean / second moment of the
+        concat input.
+        """
+        z, lq = fold["z"], fold["lq"]
+        bn, h, win, cf = z.shape
+        c2 = 2 * cf
+        donor = jnp.zeros((1, 1, 1, c2), z.dtype)
+        gamma1, beta1 = GroupNorm(name="norm1")(donor, params_only=True)
+        cpg = min(32, c2)
+        g = c2 // cpg
+        mu, e2 = fold["mu"], fold["e2"]
+        m_g = mu.reshape(bn, g, cpg).mean(-1)
+        e2_g = e2.reshape(bn, g, cpg).mean(-1)
+        var_g = jnp.maximum(e2_g - jnp.square(m_g), 0.0)
+        r_g = jax.lax.rsqrt(var_g + 1e-6)  # GroupNorm default eps
+        r_c = jnp.repeat(r_g, cpg, axis=1)           # (BN, 2C)
+        m_c = jnp.repeat(m_g, cpg, axis=1)
+        a_in = jnp.concatenate([fold["a"], jnp.ones_like(fold["a"])], -1)
+        b_in = jnp.concatenate([fold["b"], jnp.zeros_like(fold["b"])], -1)
+        g32 = gamma1.astype(jnp.float32)[None]
+        aff_a = a_in * r_c * g32
+        aff_b = (b_in - m_c) * r_c * g32 + beta1.astype(jnp.float32)[None]
+
+        cat = jnp.concatenate([z, lq], axis=-1)
+        y = cat.astype(jnp.float32) * aff_a[:, None, None, :] \
+            + aff_b[:, None, None, :]
+        y = swish(y).astype(z.dtype)
+        if mask is not None:
+            y = y * mask.astype(y.dtype)
+
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   dtype=self.dtype, name="conv1")(y)
+        if mask is not None:
+            x = x * mask.astype(x.dtype)
+        x = GroupNorm(name="norm2")(x, mask=mask)
+        x = swish(x)
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   dtype=self.dtype, name="conv2")(x)
+        if mask is not None:
+            x = x * mask.astype(x.dtype)
+
+        # skip = conv_out(concat([a*z + b, lq])) without materializing
+        # the AdaIN output: fold `a` into a per-sample weight, `b` into
+        # a per-sample bias
+        kernel, bias0 = Conv(self.features, kernel_size=(1, 1),
+                             padding="VALID", dtype=self.dtype,
+                             name="conv_out")(donor, kernels_only=True)
+        w_a = kernel[0, 0, :cf].astype(jnp.float32)   # (C, F)
+        w_l = kernel[0, 0, cf:].astype(self.dtype)
+        wa_b = (fold["a"][:, :, None] * w_a[None]).astype(self.dtype)
+        skip = jnp.einsum("bhwc,bco->bhwo", z.astype(self.dtype), wa_b,
+                          preferred_element_type=self.dtype)
+        skip = skip + jnp.einsum("bhwc,co->bhwo", lq.astype(self.dtype),
+                                 w_l, preferred_element_type=self.dtype)
+        const = fold["b"] @ w_a                        # (BN, F)
+        if bias0 is not None:
+            const = const + bias0.astype(jnp.float32)[None]
+        skip = skip + const.astype(skip.dtype)[:, None, None, :]
+        if mask is not None:
+            skip = skip * mask.astype(skip.dtype)
+        return x + skip
 
     def _phase(self, x_in):
         """Phase-layout variant: identical math and parameter tree to the

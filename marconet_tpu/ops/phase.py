@@ -139,10 +139,32 @@ def phase_conv3x3_kernels_split4(k3: jax.Array):
     return tuple(kers)
 
 
+def phase_conv3x3_kernel_embed9(k3: jax.Array) -> jax.Array:
+    """(3,3,I,O) hi-res conv kernel -> ONE (3,3,4I,4O) phase kernel.
+
+    Embeds each split4 (2,2,4I,O) kernel at row/col offset (p, q) of a
+    3x3 kernel, so one plain SAME conv computes all four output phases
+    at once: output phase p=0 needs low-res rows i-1..i (kernel rows
+    0..1 under SAME padding) and p=1 rows i..i+1 (kernel rows 1..2) —
+    the row shift is encoded in the kernel instead of asymmetric
+    padding. 4x the hi-res MACs (vs dense2's 2.67x), but a single
+    3x3 conv with 4I-wide contraction and one output buffer (no
+    per-phase concat), which XLA:TPU lowers best at the tail shapes.
+    """
+    kers = phase_conv3x3_kernels_split4(k3)
+    ci, co = k3.shape[2], k3.shape[3]
+    k = jnp.zeros((3, 3, 4 * ci, 4 * co), k3.dtype)
+    for idx, (p, q) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        k = k.at[p:p + 2, q:q + 2, :, idx * co:(idx + 1) * co].set(
+            kers[idx])
+    return k
+
+
 def _phase_conv_form() -> str:
     """Phase-conv formulation: 'dense2' (two (2,3,4I,2O) convs),
-    'split4' (four (2,2,4I,O) convs, 1.78x MACs) or 'splitpad' (one
-    (2,2,4I,4O) conv on the zero-padded input + shifted slices).
+    'split4' (four (2,2,4I,O) convs, 1.78x MACs), 'splitpad' (one
+    (2,2,4I,4O) conv on the zero-padded input + shifted slices) or
+    'embed9' (one plain (3,3,4I,4O) SAME conv, 4x MACs, no slicing).
     All exact; selected by measurement (BENCH_NOTES.md)."""
     return os.environ.get("MARCONET_PHASE_CONV", "dense2")
 
@@ -180,6 +202,11 @@ def phase_conv3x3(x: jax.Array, k3: jax.Array,
                  (1, 0) if q == 0 else (0, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC")))
         y = jnp.concatenate(outs, axis=-1)
+    elif form == "embed9":
+        k9 = phase_conv3x3_kernel_embed9(k3.astype(x.dtype))
+        y = jax.lax.conv_general_dilated(
+            x, k9, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     elif form == "splitpad":
         # one VALID (2,2) conv on the 1-px zero-padded input computes all
         # four phases at shifted offsets: phase (p, q) of low-res (i, j)

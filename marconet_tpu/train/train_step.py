@@ -123,16 +123,14 @@ def crop_chars(img, crop_idx, crop_w0):
     img: (B, H, W, C); crop_idx/crop_w0: (B, N, 128).
     Returns (B, N, H, 128, C); equals the reference's center +-64 crop with
     resize-to-128 at truncated edges (``tspgan_model.py:524-546``).
+
+    ``resample2tap`` carries a custom VJP: the backward scatter-add runs
+    as a one-hot matmul over the image width instead of an XLA scatter
+    (``ops/window.py``).
     """
-    wmax = img.shape[2]
+    from marconet_tpu.ops.window import resample2tap
 
-    def per_sample(im, idx, w0):  # im (H,W,C), idx (N,128), w0 (N,128)
-        a = jnp.take(im, idx, axis=1)                        # (H,N,128,C)
-        b = jnp.take(im, jnp.minimum(idx + 1, wmax - 1), axis=1)
-        out = a * w0[None, :, :, None] + b * (1.0 - w0[None, :, :, None])
-        return out.transpose(1, 0, 2, 3)                     # (N,H,128,C)
-
-    return jax.vmap(per_sample)(img, crop_idx, crop_w0)
+    return resample2tap(img, crop_idx, crop_w0)
 
 
 def _resize_chars(chars, size):

@@ -275,3 +275,65 @@ class TestSFTPair:
         got = mod.apply(variables, canvas, priors, locs, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestSFTFold:
+    def test_folded_adain_gn_equivalent(self, monkeypatch):
+        """The folded formulation (AdaIN + the fuse block's norm1
+        collapsed into one per-channel affine, conv_out re-bracketed
+        into per-sample matmuls) must match the plain path on the same
+        parameter tree — including truncated edge windows, masked-out
+        slots and a fully out-of-range slot."""
+        from marconet_tpu.models.srnet import SFTFusion
+
+        rng = np.random.default_rng(11)
+        b, n, h, hw, c = 2, 3, 8, 8, 16
+        canvas = jnp.asarray(rng.standard_normal((b, h, 8 * hw, c)) * 0.3,
+                             jnp.float32)
+        priors = jnp.asarray(
+            rng.standard_normal((b, n, h, 2 * hw, c)) * 0.2, jnp.float32)
+        # slot 0 interior, slot 1 truncated at the right edge, slot 2
+        # masked off
+        locs = jnp.asarray([[0.3, 0.1, 0.97, 0.1, 0.5, 0.1],
+                            [0.02, 0.1, 0.6, 0.1, 0.5, 0.1]], jnp.float32)
+        mask = jnp.asarray([[1.0, 1.0, 0.0], [1.0, 1.0, 0.0]], jnp.float32)
+
+        mod = SFTFusion(half_width=hw, features=c)
+        monkeypatch.setenv("MARCONET_SFT_FOLD", "0")
+        variables = mod.init(jax.random.PRNGKey(1), canvas, priors, locs,
+                             mask)
+        ref = mod.apply(variables, canvas, priors, locs, mask)
+
+        monkeypatch.setenv("MARCONET_SFT_FOLD", "1")
+        variables2 = mod.init(jax.random.PRNGKey(1), canvas, priors, locs,
+                              mask)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(variables2)
+        got = mod.apply(variables, canvas, priors, locs, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_writeback_direct_equivalent(self, monkeypatch):
+        """The direct (no pre-transpose) write-back einsum must be
+        bit-compatible with the flattened form."""
+        from marconet_tpu.models.srnet import SFTFusion
+
+        rng = np.random.default_rng(3)
+        b, n, h, hw, c = 1, 2, 8, 8, 16
+        canvas = jnp.asarray(rng.standard_normal((b, h, 8 * hw, c)) * 0.3,
+                             jnp.float32)
+        priors = jnp.asarray(
+            rng.standard_normal((b, n, h, 2 * hw, c)) * 0.2, jnp.float32)
+        # overlapping windows: later slot must win where both cover
+        locs = jnp.asarray([[0.3, 0.1, 0.35, 0.1]], jnp.float32)
+        mask = jnp.ones((b, n), jnp.float32)
+
+        mod = SFTFusion(half_width=hw, features=c)
+        variables = mod.init(jax.random.PRNGKey(1), canvas, priors, locs,
+                             mask)
+        monkeypatch.setenv("MARCONET_SFT_WB", "flat")
+        ref = mod.apply(variables, canvas, priors, locs, mask)
+        monkeypatch.setenv("MARCONET_SFT_WB", "direct")
+        got = mod.apply(variables, canvas, priors, locs, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)

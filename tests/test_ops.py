@@ -240,11 +240,12 @@ class TestPhaseLayout:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
 
-    @pytest.mark.parametrize("form", ["split4", "splitpad"])
+    @pytest.mark.parametrize("form", ["split4", "splitpad", "embed9"])
     def test_phase_conv3x3_forms_match(self, rng, monkeypatch, form):
-        """The zero-free split formulations (4 x (2,2,4I,O) convs; one
-        padded (2,2,4I,4O) conv + shifted slices) must match the hi-res
-        conv exactly like the dense 2-conv form does."""
+        """The alternative formulations (4 x (2,2,4I,O) convs; one
+        padded (2,2,4I,4O) conv + shifted slices; one (3,3,4I,4O) SAME
+        conv with the split kernels embedded at phase offsets) must
+        match the hi-res conv exactly like the dense 2-conv form does."""
         from marconet_tpu.ops.phase import (phase_conv3x3, phase_pack,
                                             phase_unpack)
 
