@@ -5,6 +5,8 @@ weights), convert them, and require the JAX models to reproduce the
 functional torch oracles' outputs.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -111,3 +113,61 @@ def test_srnet_conversion_end_to_end(rng, srnet_converted, centers):
         jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got), nhwc(want), rtol=1e-3,
                                atol=2e-3)
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="full-size 3-net chain compile; set RUN_SLOW=1")
+def test_full_pipeline_chain_matches_torch(rng):
+    """Chain encoder -> TSPGAN -> TSPSRNet through the torch functional
+    oracles (reference ``test_sr.py:145-197`` steps 2-4: predict w, render
+    per-char priors from w, SR with prior features + locs) and require
+    ``MARCONet.restore`` on the SAME converted state dicts to reproduce
+    the final SR tensor — this pins the cross-net seams (w hand-off,
+    padded-slot prior reshape, locs pass-through) that the per-net
+    conversion tests above cannot see."""
+    sd_enc = oracle.build_encoder_state(rng)
+    sd_pri = oracle.build_prior_state(rng)  # full 6736-class codebook
+    sd_srn = oracle.build_srnet_state(rng)
+
+    lq = rng.uniform(-1, 1, (1, 32, 512, 3)).astype(np.float32)
+    n = 3
+    labels_t = np.array([1, 17, 6000])
+    centers = [0.1, 0.45, 0.8]
+    locs_t = np.zeros((1, 2 * n), np.float32)
+    locs_t[0, 0::2] = centers
+    locs_t[0, 1::2] = 0.03
+
+    # torch oracle chain (per-character, n real slots only)
+    _, _, want_w = oracle.encoder_forward(sd_enc, nchw(lq))
+    styles = np.repeat(np.asarray(want_w), n, axis=0)
+    want_img, want_f64, want_f32 = oracle.prior_forward(
+        sd_pri, styles, labels_t)
+    want_sr = oracle.srnet_forward(sd_srn, nchw(lq), want_f64, want_f32,
+                                   locs_t)
+
+    # JAX pipeline on the converted state dicts (padded 16-slot program)
+    from marconet_tpu.models.pipeline import MARCONet, MARCONetParams
+
+    params = MARCONetParams(
+        jax.tree.map(jnp.asarray, convert_encoder(sd_enc)),
+        jax.tree.map(jnp.asarray, convert_prior(sd_pri)),
+        jax.tree.map(jnp.asarray, convert_srnet(sd_srn)))
+    net = MARCONet()
+
+    N = 16
+    labels = np.full((1, N), 6735, np.int32)
+    labels[0, :n] = labels_t
+    locs = np.zeros((1, 2 * N), np.float32)
+    locs[0, :2 * n] = locs_t[0]
+    mask = np.zeros((1, N), np.float32)
+    mask[0, :n] = 1.0
+
+    out = net.restore(params, jnp.asarray(lq), jnp.asarray(labels),
+                      jnp.asarray(locs), jnp.asarray(mask))
+
+    np.testing.assert_allclose(np.asarray(out.w), np.asarray(want_w),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.priors[0, :n]),
+                               nhwc(want_img), rtol=2e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.sr), nhwc(want_sr),
+                               rtol=2e-3, atol=5e-3)
