@@ -4,5 +4,11 @@ from marconet_tpu.parallel.mesh import (
     replicate,
     batch_sharding,
 )
+from marconet_tpu.parallel.distributed import (
+    maybe_initialize,
+    make_global_batch,
+    local_batch_slice,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding",
+           "maybe_initialize", "make_global_batch", "local_batch_slice"]

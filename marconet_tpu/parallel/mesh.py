@@ -63,5 +63,20 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
 
 
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    """Replicate every leaf over the whole mesh.
+
+    Single-process: a plain ``device_put``. Multi-process (the mesh spans
+    devices this process cannot address): every process holds the same
+    host value (deterministic init / checkpoint restore), so the global
+    replicated array is assembled from per-process callbacks over the
+    addressable shards only.
+    """
     sh = replicate(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)

@@ -43,7 +43,7 @@ class BatchLoader:
 
     def __init__(self, cfg: LoopConfig, global_batch: int,
                  num_workers: Optional[int] = None, prefetch: int = 8,
-                 max_chars: Optional[int] = None):
+                 max_chars: Optional[int] = None, seed_offset: int = 0):
         self.cfg = cfg
         self.global_batch = global_batch
         self.num_workers = num_workers or max(cfg.num_workers, 1)
@@ -51,7 +51,8 @@ class BatchLoader:
         self.q = ctx.Queue(maxsize=prefetch)
         self.procs = [
             ctx.Process(target=_worker,
-                        args=(cfg, global_batch, cfg.seed + 1000 + i,
+                        args=(cfg, global_batch,
+                              cfg.seed + 1000 + seed_offset + i,
                               self.q, max_chars),
                         daemon=True)
             for i in range(self.num_workers)
@@ -115,11 +116,18 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
     import jax
     import jax.numpy as jnp
 
-    from marconet_tpu.parallel import make_mesh, shard_batch
+    from marconet_tpu.parallel import (make_global_batch, make_mesh,
+                                       maybe_initialize, shard_batch)
     from marconet_tpu.parallel.mesh import replicate_tree
     from marconet_tpu.train import checkpoint as ckpt
     from marconet_tpu.train.train_step import (MARCONetTrainer, TrainBatch,
                                                TrainConfig)
+
+    # Multi-host: connect to the JAX distributed runtime before the first
+    # device query (no-op for a plain single-process run). The reference's
+    # analogue is basicsr's init_dist(nccl) inside train_pipeline
+    # (Train/options/train.yml:191-194).
+    maybe_initialize()
 
     loop = config.loop
     run_dir = os.path.join(loop.experiments_root, loop.name)
@@ -128,8 +136,15 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
 
     mesh = make_mesh(loop.num_devices)
     n_dev = mesh.devices.size
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
     global_batch = loop.batch_size * n_dev
-    print(f"mesh: {n_dev} device(s); global batch {global_batch}")
+    if global_batch % n_proc:
+        raise SystemExit(f"global batch {global_batch} not divisible by "
+                         f"{n_proc} processes")
+    local_batch = global_batch // n_proc
+    print(f"mesh: {n_dev} device(s) / {n_proc} process(es); "
+          f"global batch {global_batch} (local {local_batch})")
 
     # perceptual loss: pretrained VGG16+lin weights, or fail loudly — a
     # random-VGG LPIPS is a silently different objective (reference uses
@@ -175,7 +190,7 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
     state = replicate_tree(mesh, state)
 
     writer = None
-    if loop.use_tb_logger:
+    if loop.use_tb_logger and is_main:
         try:
             from tensorboardX import SummaryWriter
 
@@ -185,8 +200,12 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
 
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
     visual_fn = jax.jit(trainer.visual_forward)
-    loader = BatchLoader(loop, global_batch,
-                         max_chars=trainer.max_chars)
+    # each process synthesizes only its own rows of the global batch,
+    # with disjoint worker seeds across hosts (SURVEY.md §5.8: per-host
+    # loading; data never crosses DCN)
+    loader = BatchLoader(loop, local_batch,
+                         max_chars=trainer.max_chars,
+                         seed_offset=jax.process_index() * 10_000)
 
     def log_visuals(state, batch: TrainBatch, step: int):
         """TB image grids every val_freq iters (reference
@@ -219,14 +238,19 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
                 break
             if profile_dir and step == start_step + 10:
                 jax.profiler.start_trace(profile_dir)
-            batch = TrainBatch(**{k: jnp.asarray(v)
-                                  for k, v in raw.items()})
-            batch = TrainBatch(*shard_batch(mesh, tuple(batch)))
+            if n_proc > 1:
+                # per-host rows -> one global jax.Array per leaf
+                # (jax.make_array_from_process_local_data)
+                batch = TrainBatch(**make_global_batch(mesh, raw))
+            else:
+                batch = TrainBatch(**{k: jnp.asarray(v)
+                                      for k, v in raw.items()})
+                batch = TrainBatch(*shard_batch(mesh, tuple(batch)))
             state, metrics = step_fn(state, batch)
             if profile_dir and step == start_step + 15:
                 jax.profiler.stop_trace()
 
-            if (step + 1) % loop.print_freq == 0:
+            if is_main and (step + 1) % loop.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 rate = loop.print_freq * global_batch / (time.time() - t0)
                 t0 = time.time()
@@ -238,12 +262,19 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
                         writer.add_scalar(f"losses/{k}", v, step + 1)
                     writer.add_scalar("speed/samples_per_sec", rate,
                                       step + 1)
-            if writer and loop.val_freq > 0 \
+            if writer and loop.val_freq > 0 and n_proc == 1 \
                     and (step + 1) % loop.val_freq == 0:
+                # visual grids need the full host-side batch; with >1
+                # process no host can address every shard — rank-0-only
+                # validation is what the reference does too
+                # (tspgan_model.py:610-612), here restricted further to
+                # the single-host case
                 log_visuals(state, batch, step + 1)
             if (step + 1) % loop.save_freq == 0:
+                # every process participates (Orbax coordinates the write)
                 ckpt.save_state(ckpt_dir, step + 1, state)
-                print(f"saved checkpoint at iter {step + 1}")
+                if is_main:
+                    print(f"saved checkpoint at iter {step + 1}")
     finally:
         loader.close()
         if writer:

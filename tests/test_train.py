@@ -124,21 +124,8 @@ class TestCropChars:
                                    rtol=1e-4, atol=1e-5)
 
 
-def tiny_batch(rng, b=2, n_chars=16):
-    w = 128 * n_chars
-    gt = rng.uniform(-1, 1, (b, 128, w, 3)).astype(np.float32)
-    mask = (rng.uniform(0, 1, (b, 128, w, 3)) > 0.7).astype(np.float32)
-    lq = rng.uniform(-1, 1, (b, 32, w // 4, 3)).astype(np.float32)
-    labels = np.full((b, n_chars), BLANK_INDEX, np.int64)
-    box = np.zeros((b, 2 * n_chars), np.float32)
-    for i in range(b):
-        n = 3
-        labels[i, :n] = rng.integers(0, 6735, n)
-        lefts = np.sort(rng.uniform(0.0, 0.8, n))
-        for c in range(n):
-            box[i, 2 * c] = lefts[c]
-            box[i, 2 * c + 1] = lefts[c] + 0.05
-    return prepare_train_batch(gt, mask, labels, box, lq)
+from tests.train_fixtures import tiny_batch  # noqa: E402  (shared with
+# the multi-process subprocess workers, tests/mp_worker.py)
 
 
 class TestBatchPrep:
