@@ -14,6 +14,7 @@ w (B, 512).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
 import jax
@@ -21,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from marconet_tpu.ops.layers import Conv
+from marconet_tpu.ops.widthfold import wfold, wfold_conv, wunfold
 
 Dtype = Any
 
@@ -45,25 +47,48 @@ def scaled_width(value: int, width: float, floor: int = 8,
 
 
 class BasicBlock(nn.Module):
-    """1x1 conv -> relu -> strided 3x3 conv, with 1x1 projection skip."""
+    """1x1 conv -> relu -> strided 3x3 conv, with 1x1 projection skip.
+
+    With ``fold > 1`` the input/output are width-folded (``f*C``
+    channels, see ``ops/widthfold``) and the convs run in the folded
+    layout with trace-time-derived kernels — the parameter tree is
+    identical to the plain path (the ``Conv`` modules own the hi-res
+    kernels either way).
+    """
 
     features: int
     strides: Tuple[int, int] = (1, 1)
     dtype: Dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1]
-        y = Conv(self.features, kernel_size=(1, 1), padding="VALID",
-                 use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = jax.nn.relu(y)
-        y = Conv(self.features, kernel_size=(3, 3), strides=self.strides,
-                 padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
-                 name="conv2")(y)
+        f = self.fold
+        in_features = x.shape[-1] // f
+        conv1 = Conv(self.features, kernel_size=(1, 1), padding="VALID",
+                     use_bias=False, dtype=self.dtype, name="conv1")
+        conv2 = Conv(self.features, kernel_size=(3, 3), strides=self.strides,
+                     padding=((1, 1), (1, 1)), use_bias=False,
+                     dtype=self.dtype, name="conv2")
+        down = None
         if self.strides != (1, 1) or in_features != self.features:
-            x = Conv(self.features, kernel_size=(1, 1), strides=self.strides,
-                     padding="VALID", use_bias=False, dtype=self.dtype,
-                     name="downsample")(x)
+            down = Conv(self.features, kernel_size=(1, 1),
+                        strides=self.strides, padding="VALID",
+                        use_bias=False, dtype=self.dtype, name="downsample")
+        if f == 1:
+            y = jax.nn.relu(conv1(x))
+            y = conv2(y)
+            if down is not None:
+                x = down(x)
+            return jax.nn.relu(y + x)
+        k1, _ = conv1(x[..., :in_features], kernels_only=True)
+        y = jax.nn.relu(wfold_conv(x, k1.astype(self.dtype), f))
+        k2, _ = conv2(y[..., :self.features], kernels_only=True)
+        y = wfold_conv(y, k2.astype(self.dtype), f, strides=self.strides)
+        if down is not None:
+            kd, _ = down(x[..., :in_features], kernels_only=True)
+            x = wfold_conv(x, kd.astype(self.dtype), f,
+                           strides=self.strides)
         return jax.nn.relu(y + x)
 
 
@@ -72,6 +97,12 @@ class ResNet45(nn.Module):
 
     Stage plan (blocks, channels, stride): (3,32,(2,1)), (4,64,1),
     (6,128,(2,1)), (6,256,1), (3,512,1) — reference ``models/resnet.py:73-74``.
+
+    ``fold > 1`` runs the low-channel leading stages in the width-folded
+    layout (``ops/widthfold``): the stem and every stage whose folded
+    channel count stays <= 512 compute with ``fold*C`` channels at
+    ``W/fold`` columns — same parameters, MXU-shaped convs. The fold
+    enters and leaves via free reshapes.
     """
 
     dtype: Dtype = jnp.float32
@@ -79,20 +110,34 @@ class ResNet45(nn.Module):
     stage_features: Sequence[int] = (32, 64, 128, 256, 512)
     stage_strides: Sequence[Tuple[int, int]] = (
         (2, 1), (1, 1), (2, 1), (1, 1), (1, 1))
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(self.stage_features[0], kernel_size=(3, 3),
-                 padding=((1, 1), (1, 1)),
-                 use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = jax.nn.relu(x)
+        f = self.fold
+        folded = f > 1
+        conv1 = Conv(self.stage_features[0], kernel_size=(3, 3),
+                     padding=((1, 1), (1, 1)),
+                     use_bias=False, dtype=self.dtype, name="conv1")
+        if folded:
+            x = wfold(x, f)
+            k, _ = conv1(x[..., :x.shape[-1] // f], kernels_only=True)
+            x = jax.nn.relu(wfold_conv(x, k.astype(self.dtype), f))
+        else:
+            x = jax.nn.relu(conv1(x))
         for si, (blocks, feats, stride) in enumerate(zip(
                 self.stage_blocks, self.stage_features, self.stage_strides)):
+            if folded and feats * f > 256:
+                x = wunfold(x, f)
+                folded = False
             for bi in range(blocks):
                 x = BasicBlock(feats,
                                strides=stride if bi == 0 else (1, 1),
                                dtype=self.dtype,
+                               fold=f if folded else 1,
                                name=f"layer{si + 1}_{bi}")(x)
+        if folded:
+            x = wunfold(x, f)
         return x  # (B, 8, 512, 512)
 
 
@@ -249,6 +294,16 @@ class TextViTHead(nn.Module):
         return logits, locs, wvec
 
 
+def _enc_fold_default() -> int:
+    """Width-fold factor for the encoder's low-channel ResNet stages.
+
+    ``MARCONET_ENC_FOLD`` overrides; default 1 (plain) pending the chip
+    A/B (BENCH_NOTES.md round-4 queue) — never default-enable an
+    unmeasured formulation.
+    """
+    return int(os.environ.get("MARCONET_ENC_FOLD", "1"))
+
+
 class TextContextEncoder(nn.Module):
     """ResNet-45 + TextViT; the reference's ``TextContextEncoderV2``.
 
@@ -276,8 +331,11 @@ class TextContextEncoder(nn.Module):
         feats = tuple(scaled_width(f, s)
                       for f in (32, 64, 128, 256, 512))
         dim = self.w_dim
+        fold = _enc_fold_default()
+        if lq.shape[2] % max(fold, 1):
+            fold = 1
         feat = ResNet45(stage_features=feats, dtype=self.dtype,
-                        name="resnet")(lq)
+                        fold=fold, name="resnet")(lq)
         return TextViTHead(num_classes=self.num_classes, dim=dim,
                            mlp_dim=2 * dim,
                            dim_head=scaled_width(64, s),

@@ -1,0 +1,100 @@
+"""Width-folded conv layout for low-channel stages.
+
+The encoder's early ResNet stages run 3/32/64-channel convs at 32x512 /
+16x512 — with channels far below the TPU's 128-wide lane dimension,
+every tensor is lane-padded and the convs run at 1-17% MXU
+(``tools/bench_encoder_parts.py``). Because the model is NHWC
+channels-minor, folding the width axis into channels is a FREE reshape:
+``(B, H, W, C) -> (B, H, W/f, f*C)`` splits W contiguously — no
+transpose, no data movement. In the folded layout a hi-res conv becomes
+an ``f*C``-channel conv whose kernel is derived at trace time from the
+stored hi-res kernel (a few-KB scatter, constant relative to the conv),
+so parameters, checkpoints and converters are untouched.
+
+This is the 1-D width-only sibling of the 2x2 subpixel phase layout the
+SR tail uses (``ops/phase.py``); unlike that layout no pack/unpack
+transposes are ever needed.
+
+Exactness: the folded kernel places each hi-res tap ``(ky, dx)`` at
+folded tap ``(ky, dj)`` / input channel block ``s`` with
+``q + dx = f*dj + s`` for output phase ``q`` — every hi-res MAC appears
+exactly once, the extra kernel entries are zeros, and folded zero-SAME
+padding reads exactly the hi-res zero padding (verified in
+``tests/test_ops.py::TestWidthFold``). Height strides pass through
+(width strides would change the fold and are rejected).
+
+Parity target: this computes the reference's plain torch convs
+(``models/resnet.py:9-29``) exactly, in a TPU-native layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def wfold(x: jax.Array, f: int) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W/f, f*C); free reshape (channels-minor)."""
+    b, h, w, c = x.shape
+    assert w % f == 0, (w, f)
+    return x.reshape(b, h, w // f, f * c)
+
+
+def wunfold(x: jax.Array, f: int) -> jax.Array:
+    """(B, H, W', f*C) -> (B, H, W'*f, C); free reshape."""
+    b, h, w, fc = x.shape
+    assert fc % f == 0, (fc, f)
+    return x.reshape(b, h, w * f, fc // f)
+
+
+def wfold_kernel(k: jax.Array, f: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """(kh, kw, I, O) hi-res kernel -> ((kh, kw', f*I, f*O), width pad).
+
+    Output channel block ``q`` holds hi-res column phase ``q``; input
+    blocks likewise. Hi-res tap ``dx`` (centered, odd ``kw``) applied at
+    output column ``f*j + q`` reads column ``f*j + q + dx`` = phase
+    ``s = (q+dx) % f`` of folded column ``j + dj``, ``dj = (q+dx-s)//f``.
+    Returns the folded kernel and the zero-SAME width padding
+    ``(-dj_min, dj_max)`` that reproduces the hi-res zero padding.
+    """
+    kh, kw, ci, co = k.shape
+    assert kw % 2 == 1, "width-fold expects centered odd-width kernels"
+    r = kw // 2
+    dj_min = (0 - r) // f          # most negative folded offset (q=0)
+    dj_max = (f - 1 + r) // f      # most positive (q=f-1)
+    kwf = dj_max - dj_min + 1
+    kf = jnp.zeros((kh, kwf, f * ci, f * co), k.dtype)
+    for q in range(f):
+        for dx in range(-r, r + 1):
+            s = (q + dx) % f
+            dj = (q + dx - s) // f
+            kf = kf.at[:, dj - dj_min,
+                       s * ci:(s + 1) * ci,
+                       q * co:(q + 1) * co].add(k[:, dx + r])
+    return kf, (-dj_min, dj_max)
+
+
+def wfold_conv(x: jax.Array, k: jax.Array, f: int,
+               strides: Tuple[int, int] = (1, 1),
+               bias: Optional[jax.Array] = None,
+               pad_h: Optional[Tuple[int, int]] = None) -> jax.Array:
+    """Hi-res conv computed in width-folded layout.
+
+    ``wunfold(wfold_conv(wfold(y, f), k, f), f)`` equals the hi-res
+    zero-SAME conv of ``y`` with ``k`` exactly (up to float
+    reassociation). ``x``: (B, H, W', f*I); returns (B, H", W', f*O).
+    Only height strides are supported (width strides change the fold).
+    """
+    assert strides[1] == 1, "width stride would change the fold"
+    kh = k.shape[0]
+    if pad_h is None:
+        pad_h = (kh // 2, kh // 2)
+    kf, pad_w = wfold_kernel(k.astype(x.dtype), f)
+    y = jax.lax.conv_general_dilated(
+        x, kf, strides, (pad_h, pad_w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), f)
+    return y

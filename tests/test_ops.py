@@ -376,3 +376,74 @@ class TestChannelsMajorRGB:
         np.testing.assert_allclose(
             np.asarray(jnp.transpose(got, (0, 2, 3, 1))), np.asarray(ref),
             atol=1e-5)
+
+
+class TestWidthFold:
+    """Width-folded convs are exact re-bracketings of the hi-res convs
+    (``ops/widthfold``; encoder early stages, reference
+    ``models/resnet.py:9-29``)."""
+
+    @pytest.mark.parametrize("f", [2, 4])
+    @pytest.mark.parametrize("kw,stride", [((3, 3), (1, 1)),
+                                           ((3, 3), (2, 1)),
+                                           ((1, 1), (1, 1)),
+                                           ((1, 1), (2, 1))])
+    def test_wfold_conv_matches_hires(self, rng, f, kw, stride):
+        from marconet_tpu.ops.widthfold import wfold, wfold_conv, wunfold
+
+        B, H, W, CI, CO = 2, 8, 24, 5, 7
+        x = jnp.asarray(rng.standard_normal((B, H, W, CI)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((*kw, CI, CO)) * 0.2,
+                        jnp.float32)
+        pad = ((kw[0] // 2,) * 2, (kw[1] // 2,) * 2)
+        ref = jax.lax.conv_general_dilated(
+            x, k, stride, pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = wunfold(wfold_conv(wfold(x, f), k, f, strides=stride), f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_wfold_is_free_reshape(self, rng):
+        from marconet_tpu.ops.widthfold import wfold, wunfold
+
+        x = jnp.asarray(rng.standard_normal((1, 2, 8, 3)), jnp.float32)
+        y = wfold(x, 4)
+        # column 4j+q of channel c lands in channel block q
+        np.testing.assert_array_equal(np.asarray(y[0, 1, 1, 3 * 2:3 * 3]),
+                                      np.asarray(x[0, 1, 6]))
+        np.testing.assert_array_equal(np.asarray(wunfold(y, 4)),
+                                      np.asarray(x))
+
+    def test_wfold_bias(self, rng):
+        from marconet_tpu.ops.widthfold import wfold, wfold_conv, wunfold
+
+        B, H, W, CI, CO = 1, 4, 16, 3, 4
+        x = jnp.asarray(rng.standard_normal((B, H, W, CI)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, CI, CO)) * 0.2,
+                        jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((CO,)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        got = wunfold(wfold_conv(wfold(x, 4), k, 4, bias=bias), 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_resnet_fold_matches_plain(self, rng):
+        """Full folded ResNet stem+stages vs the plain path, same params."""
+        from marconet_tpu.models.encoder import ResNet45
+
+        x = jnp.asarray(rng.standard_normal((1, 16, 32, 3)), jnp.float32)
+        plain = ResNet45(stage_blocks=(2, 2, 2),
+                         stage_features=(8, 16, 32),
+                         stage_strides=((2, 1), (1, 1), (2, 1)))
+        folded = ResNet45(stage_blocks=(2, 2, 2),
+                          stage_features=(8, 16, 32),
+                          stage_strides=((2, 1), (1, 1), (2, 1)), fold=4)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        params2 = folded.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(params2)
+        ref = plain.apply(params, x)
+        got = folded.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -94,26 +94,37 @@ def main():
         t = chain_time(step, (x, params))
         report(name, t, gflop)
 
+    # MARCONET_ENC_FOLD applies the width-folded layout to the stages it
+    # would cover in the real model (folded channels <= 256); floors are
+    # scaled by the fold's MAC inflation (dense embed kernel: f x)
+    fold = int(os.environ.get("MARCONET_ENC_FOLD", "1"))
+
     g = B * 32 * 512 * 9 * 3 * 32 * 2 / 1e9
     g += block_gflops(B, 32, 512, 32, 32, True)
     g += 2 * block_gflops(B, 16, 512, 32, 32, False)
     time_mod("stem", ResNet45(stage_blocks=(3,), stage_features=(32,),
-                              stage_strides=((2, 1),), dtype=dt),
-             (B, 32, 512, 3), g)
+                              stage_strides=((2, 1),), fold=fold, dtype=dt),
+             (B, 32, 512, 3), g * fold)
 
     def mid_stage(name, blocks, cin, c, h, strided):
+        f = fold if c * fold <= 256 else 1
+
         class Seq(nn.Module):
             @nn.compact
             def __call__(self, x):
+                from marconet_tpu.ops.widthfold import wfold, wunfold
+                if f > 1:
+                    x = wfold(x, f)
                 for i in range(blocks):
                     x = BasicBlock(c, strides=(2, 1) if strided and i == 0
-                                   else (1, 1), dtype=dt, name=f"b{i}")(x)
-                return x
+                                   else (1, 1), fold=f, dtype=dt,
+                                   name=f"b{i}")(x)
+                return wunfold(x, f) if f > 1 else x
 
         ho = h // 2 if strided else h
         g = block_gflops(B, h, 512, cin, c, strided)
         g += (blocks - 1) * block_gflops(B, ho, 512, c, c, False)
-        time_mod(name, Seq(), (B, h, 512, cin), g)
+        time_mod(name, Seq(), (B, h, 512, cin), g * f)
 
     mid_stage("stage2", 4, 32, 64, 16, False)
     mid_stage("stage3", 6, 64, 128, 16, True)
