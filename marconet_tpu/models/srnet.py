@@ -123,6 +123,35 @@ def _window_geometry(locs, half_width: int, width: int):
 # dynamic-update-slice canvas passes (the round-3 G-phase bottleneck).
 
 
+def _tpu_backend() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _sft_fold_default() -> bool:
+    """Folded AdaIN+norm1 formulation: measured +4.9 crops/s e2e on v5e
+    (round-4 chip A/B, BENCH_NOTES.md), so it is the TPU default; on CPU
+    it only adds XLA:CPU compile surface, so the plain path stays.
+    ``MARCONET_SFT_FOLD=0/1`` forces either way; exact re-bracketing
+    either way (tests/test_models.py::TestSFTFold)."""
+    env = os.environ.get("MARCONET_SFT_FOLD")
+    if env is not None:
+        return env == "1"
+    return _tpu_backend()
+
+
+def _sft_wb_default() -> str:
+    """Write-back einsum layout: 'direct' contracts against the windows'
+    native (B,N,H,win,C) layout (+1.6 crops/s on v5e, round-4 A/B);
+    'flat' pre-transposes. ``MARCONET_SFT_WB`` forces; both exact."""
+    env = os.environ.get("MARCONET_SFT_WB")
+    if env is not None:
+        return env
+    return "direct" if _tpu_backend() else "flat"
+
+
 class SFTFusion(nn.Module):
     """One scale of per-character SFT fusion (batched, masked)."""
 
@@ -174,7 +203,7 @@ class SFTFusion(nn.Module):
         lq_f = lq_f * m.astype(lq_f.dtype)
         prior_f = prior_f * m.astype(prior_f.dtype)
 
-        if os.environ.get("MARCONET_SFT_FOLD", "0") == "1":
+        if _sft_fold_default():
             # folded formulation: AdaIN + the fuse block's norm1 collapse
             # into one per-channel affine (AdaIN is a per-channel affine
             # of the raw prior windows, and norm1's group stats of that
@@ -288,7 +317,7 @@ class SFTFusion(nn.Module):
         sel = (sel_slot[..., None] & sel_col).astype(canvas.dtype)
         # each output column selects exactly one window column, so
         # low-precision accumulation is exact here
-        if os.environ.get("MARCONET_SFT_WB", "flat") == "direct":
+        if _sft_wb_default() == "direct":
             # contract (n, win) directly against the windows' native
             # (B, N, H, win, C) layout — no explicit pre-transpose; XLA
             # picks the contraction layout
