@@ -52,6 +52,7 @@ from marconet_tpu.ops.layers import (
 )
 from marconet_tpu.ops.phase import phase_unpack
 from marconet_tpu.ops.resize import upsample2x_bilinear
+from marconet_tpu.ops.widthfold import phase_to_wfold, wunfold
 from marconet_tpu.ops.window import gather_windows, gather_windows_per_slot
 
 Dtype = Any
@@ -331,22 +332,32 @@ class SFTFusion(nn.Module):
         return canvas + res.transpose(0, 2, 1, 3)
 
 
-def _phase_tail_default() -> bool:
-    """Resolve the phase-tail default at trace time.
+def _tail_form_default() -> str:
+    """Resolve the final-chain layout at trace time.
 
-    The phase-separated tail is a TPU layout optimization (+2% e2e on
-    v5e); on CPU it only inflates XLA:CPU compile time (the dryrun/CI
-    tier compiles every srnet graph), so the default is backend-gated.
-    ``MARCONET_PHASE_TAIL=0/1`` forces either way; parameters are
-    identical in both graphs, so checkpoints are unaffected.
+    Forms (all exact re-bracketings of the same parameters, pinned in
+    tests/test_models.py):
+      ``plain`` — hi-res 128x2048 convs (the CPU/test default: the
+        alternative layouts only inflate XLA:CPU compile time);
+      ``phase`` — 2x2 subpixel phases packed into channels
+        (``ops/phase.py``);
+      ``wfold`` — hi-res columns width-folded into channels
+        (``ops/widthfold``): one (3,3,2I,2O) conv per hi-res conv at
+        128 channels (opt-in pending chip A/B — see BENCH_NOTES.md).
+
+    ``MARCONET_TAIL=plain|phase|wfold`` forces; the older
+    ``MARCONET_PHASE_TAIL=0/1`` still forces plain/phase.
     """
+    env = os.environ.get("MARCONET_TAIL")
+    if env is not None:
+        return env
     env = os.environ.get("MARCONET_PHASE_TAIL")
     if env is not None:
-        return env == "1"
+        return "phase" if env == "1" else "plain"
     try:
-        return jax.default_backend() == "tpu"
+        return "phase" if jax.default_backend() == "tpu" else "plain"
     except Exception:  # pragma: no cover
-        return False
+        return "plain"
 
 
 class StructurePriorSRNet(nn.Module):
@@ -366,7 +377,8 @@ class StructurePriorSRNet(nn.Module):
 
     dim: int = 256
     update_stats: bool = False
-    phase_tail: bool | None = None  # None = TPU yes / CPU no (see above)
+    phase_tail: bool | None = None  # back-compat: True/False = phase/plain
+    tail_form: str | None = None    # 'plain'|'phase'|'wfold'; None = env
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -427,9 +439,13 @@ class StructurePriorSRNet(nn.Module):
         # final x2 to 128 x 2048; the upsample is folded into final_b
         # (exact composition — ops/resize.conv3x3_after_upsample2x)
         x = leaky_relu(sn(d // 2, name="final_a")(s64))
-        phase_tail = self.phase_tail if self.phase_tail is not None \
-            else _phase_tail_default()
-        if phase_tail:
+        if self.phase_tail is not None:
+            tail = "phase" if self.phase_tail else "plain"
+        elif self.tail_form is not None:
+            tail = self.tail_form
+        else:
+            tail = _tail_form_default()
+        if tail == "phase":
             # phase-separated layout to the very end: final_b emits the
             # hi-res canvas as (B, 64, 1024, 4*(d//4)) subpixel phases,
             # final_res/final_out consume it in place, and one cheap
@@ -442,6 +458,23 @@ class StructurePriorSRNet(nn.Module):
             x = SNConv(3, update_stats=us, dtype=dt, phase_input=True,
                        name="final_out")(x)
             return phase_unpack(jnp.tanh(x))
+        if tail == "wfold":
+            # width-folded layout (ops/widthfold): final_b still emits
+            # phases (the fused upsample-conv's natural output — its row
+            # count doubles, which a single folded conv cannot do), one
+            # free-ish transpose re-lays them as wfold-2, and the rest of
+            # the chain runs as 2x-channel folded convs; the final
+            # unfold back to 128 x 2048 is a free reshape
+            x = leaky_relu(SNConv(d // 4, update_stats=us, dtype=dt,
+                                  pre_upsample=True, phase_output=True,
+                                  name="final_b")(x))
+            x = phase_to_wfold(x)
+            x = ResTextBlockV2(d // 4, update_stats=us, dtype=dt,
+                               wfold=True, name="final_res")(x)
+            x = SNConv(3, update_stats=us, dtype=dt, wfold_input=True,
+                       name="final_out")(x)
+            return wunfold(jnp.tanh(x), 2)
+        assert tail == "plain", tail
         x = leaky_relu(SNConv(d // 4, update_stats=us, dtype=dt,
                               pre_upsample=True, name="final_b")(x))
         x = ResTextBlockV2(d // 4, update_stats=us, dtype=dt,

@@ -212,12 +212,19 @@ class SNConv(nn.Module):
     # time), so converted checkpoints are unaffected.
     phase_input: bool = False
     phase_output: bool = False
+    # width-folded (ops/widthfold) layout: consume/produce (B, H, W/2,
+    # 2C) tensors — the hi-res conv runs as ONE folded conv with a
+    # trace-time-derived kernel. Parameter shapes unchanged.
+    wfold_input: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, kernels_only: bool = False):
-        in_features = x.shape[-1] // 4 if self.phase_input \
-            else x.shape[-1]
+        in_features = x.shape[-1]
+        if self.phase_input:
+            in_features = x.shape[-1] // 4
+        elif self.wfold_input:
+            in_features = x.shape[-1] // 2
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -283,6 +290,10 @@ class SNConv(nn.Module):
             assert self.kernel_size == (3, 3) and self.strides == (1, 1)
             from marconet_tpu.ops.phase import phase_conv3x3
             y = phase_conv3x3(x.astype(self.dtype), w)
+        elif self.wfold_input:
+            assert self.kernel_size == (3, 3) and self.strides == (1, 1)
+            from marconet_tpu.ops.widthfold import wfold_conv
+            y = wfold_conv(x.astype(self.dtype), w, 2)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), w,
@@ -295,6 +306,8 @@ class SNConv(nn.Module):
             bias = bias.astype(self.dtype)
             if self.phase_input or (self.pre_upsample and self.phase_output):
                 bias = jnp.tile(bias, 4)  # one copy per subpixel phase
+            elif self.wfold_input:
+                bias = jnp.tile(bias, 2)  # one copy per column phase
             y = y + bias
         return y
 
@@ -353,6 +366,9 @@ class ResTextBlockV2(nn.Module):
     # same parameter tree as the plain path — GroupNorm stats pool the
     # four phase copies, convs run as phase-layout kernels
     phase: bool = False
+    # consume/produce width-folded (B,H,W/2,2C) tensors (ops/widthfold);
+    # the 1-D sibling of ``phase`` — same parameter tree
+    wfold: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -362,6 +378,9 @@ class ResTextBlockV2(nn.Module):
         if self.phase:
             assert mask is None, "phase mode has no windowed-mask use"
             return self._phase(x_in)
+        if self.wfold:
+            assert mask is None, "wfold mode has no windowed-mask use"
+            return self._wfold(x_in)
         in_features = x_in.shape[-1]
         x = GroupNorm(name="norm1")(x_in, mask=mask)
         x = swish(x)
@@ -459,6 +478,35 @@ class ResTextBlockV2(nn.Module):
         skip = skip + const.astype(skip.dtype)[:, None, None, :]
         if mask is not None:
             skip = skip * mask.astype(skip.dtype)
+        return x + skip
+
+    def _wfold(self, x_in):
+        """Width-folded variant: identical math and parameter tree to the
+        plain path, computed with hi-res columns folded into channels
+        (``ops/widthfold``; fold factor 2)."""
+        from marconet_tpu.ops.widthfold import wfold_group_norm
+
+        c_in = x_in.shape[-1] // 2
+
+        def gn(name, v, c):
+            donor = jnp.zeros((1, 1, 1, c), v.dtype)
+            gamma, beta = GroupNorm(name=name)(donor, params_only=True)
+            return wfold_group_norm(v, gamma, beta, c // min(32, c))
+
+        x = swish(gn("norm1", x_in, c_in))
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   wfold_input=True, dtype=self.dtype, name="conv1")(x)
+        x = swish(gn("norm2", x, self.features))
+        x = SNConv(self.features, update_stats=self.update_stats,
+                   wfold_input=True, dtype=self.dtype, name="conv2")(x)
+        skip = x_in
+        if c_in != self.features:
+            # hi-res 1x1 conv = per-column-phase channel matmul
+            b, h, w, _ = x_in.shape
+            skip = Conv(self.features, kernel_size=(1, 1), padding="VALID",
+                        dtype=self.dtype, name="conv_out")(
+                x_in.reshape(b, h, w * 2, c_in)).reshape(
+                b, h, w, 2 * self.features)
         return x + skip
 
     def _phase(self, x_in):

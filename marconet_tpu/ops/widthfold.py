@@ -76,6 +76,55 @@ def wfold_kernel(k: jax.Array, f: int) -> Tuple[jax.Array, Tuple[int, int]]:
     return kf, (-dj_min, dj_max)
 
 
+def phase_to_wfold(x: jax.Array) -> jax.Array:
+    """(B, H, W, 4C) 2x2 phase-packed -> (B, 2H, W, 2C) width-folded.
+
+    Phase blocks are ordered ``2p+q`` (``ops/phase.phase_pack``): hi-res
+    ``y[2i+p, 2j+q] == x[i, j, (2p+q)C + c]``. Splitting the channel axis
+    as ``(p, q*C+c)`` and interleaving ``p`` into rows yields exactly the
+    wfold-2 layout (row ``2i+p``, column block ``q``) in ONE transpose —
+    the entry relayout from the phase-emitting fused upsample-conv
+    (``final_b``) into the width-folded tail.
+    """
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    y = x.reshape(b, h, w, 2, 2 * c)
+    return y.transpose(0, 1, 3, 2, 4).reshape(b, 2 * h, w, 2 * c)
+
+
+def wfold_group_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                     num_groups: int, eps: float = 1e-6,
+                     f: int = 2) -> jax.Array:
+    """GroupNorm of the *hi-res* tensor, computed in width-folded layout.
+
+    Statistics for a channel group pool the group's channels across all
+    ``f`` column-phase copies (they are the same hi-res channels; the
+    fold only moved columns into channels). One reduction pass over the
+    activations to per-(batch, folded-channel) sums, then the fold and
+    the group's channels collapse on tiny (B, f*C) vectors. Mirrors
+    ``ops/phase.phase_group_norm`` for the 1-D fold.
+
+    x: (B, H, W', f*C) width-folded; gamma/beta: (C,) hi-res params.
+    """
+    b, h, w, cf = x.shape
+    c = cf // f
+    g = num_groups
+    f32 = x.astype(jnp.float32)
+    s1 = f32.sum(axis=(1, 2))                     # (B, fC)
+    s2 = jnp.square(f32).sum(axis=(1, 2))
+    n = float(f) * h * w * (c // g)
+    gs1 = s1.reshape(b, f, g, c // g).sum(axis=(1, 3)) / n   # (B, g)
+    gs2 = s2.reshape(b, f, g, c // g).sum(axis=(1, 3)) / n
+    var = jnp.maximum(gs2 - jnp.square(gs1), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.tile(jnp.repeat(gs1, c // g, axis=1), (1, f))  # (B, fC)
+    scl_c = jnp.tile(jnp.repeat(scale, c // g, axis=1), (1, f))
+    y = (f32 - mean_c[:, None, None, :]) * scl_c[:, None, None, :]
+    gamma_f = jnp.tile(gamma.astype(x.dtype), f)
+    beta_f = jnp.tile(beta.astype(x.dtype), f)
+    return y.astype(x.dtype) * gamma_f + beta_f
+
+
 def wfold_conv(x: jax.Array, k: jax.Array, f: int,
                strides: Tuple[int, int] = (1, 1),
                bias: Optional[jax.Array] = None,

@@ -244,6 +244,33 @@ class TestPhaseTail:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4)
 
+    def test_wfold_tail_equivalent(self):
+        """The width-folded final chain must match the plain hi-res tail
+        with the SAME parameters — exact layout re-bracketing
+        (``ops/widthfold``), like the phase tail."""
+        rng = np.random.default_rng(6)
+        lq = jnp.asarray(rng.standard_normal((1, 32, 128, 3)) * 0.3,
+                         jnp.float32)
+        p64 = jnp.asarray(rng.standard_normal((1, 2, 64, 64, 32)) * 0.1,
+                          jnp.float32)
+        p32 = jnp.asarray(rng.standard_normal((1, 2, 32, 32, 64)) * 0.1,
+                          jnp.float32)
+        locs = jnp.asarray([[0.3, 0.1, 0.7, 0.1]], jnp.float32)
+
+        plain = StructurePriorSRNet(dim=32, tail_form="plain")
+        folded = StructurePriorSRNet(dim=32, tail_form="wfold")
+        variables = jax.jit(plain.init)(jax.random.PRNGKey(0), lq, p64,
+                                        p32, locs)
+        variables2 = jax.eval_shape(folded.init, jax.random.PRNGKey(0),
+                                    lq, p64, p32, locs)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(variables2)
+        ref = plain.apply(variables, lq, p64, p32, locs)
+        got = folded.apply(variables, lq, p64, p32, locs)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
 
 class TestSFTPair:
     def test_paired_scale_shift_equivalent(self, monkeypatch):

@@ -428,6 +428,31 @@ class TestWidthFold:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_phase_to_wfold_layout(self, rng):
+        """phase-packed -> wfold-2 relayout: unfolding the result must
+        reproduce the hi-res tensor the phases encode."""
+        from marconet_tpu.ops.phase import phase_pack
+        from marconet_tpu.ops.widthfold import phase_to_wfold, wunfold
+
+        y = jnp.asarray(rng.standard_normal((2, 6, 10, 3)), jnp.float32)
+        got = wunfold(phase_to_wfold(phase_pack(y)), 2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(y))
+
+    def test_wfold_group_norm_matches_hires(self, rng):
+        """GroupNorm computed in wfold layout == hi-res GroupNorm."""
+        from marconet_tpu.ops.layers import group_norm
+        from marconet_tpu.ops.widthfold import (wfold, wfold_group_norm,
+                                                wunfold)
+
+        B, H, W, C, G = 2, 4, 12, 8, 2
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+        beta = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+        ref = group_norm(x, gamma, beta, G)
+        got = wunfold(wfold_group_norm(wfold(x, 2), gamma, beta, G), 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_resnet_fold_matches_plain(self, rng):
         """Full folded ResNet stem+stages vs the plain path, same params."""
         from marconet_tpu.models.encoder import ResNet45
