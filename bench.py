@@ -68,15 +68,40 @@ def main():
         out = net.restore(p, x, labels, locs, mask).sr
         return x + (out.mean() * 0).astype(x.dtype), out
 
-    x, out = step(params, lq)  # warmup + compile
-    float(out.mean())
+    # BENCH_LOOP=scan runs the measured iterations as ONE on-device
+    # lax.scan program (same per-step restore graph, same data-dependent
+    # chaining) with a single dispatch + final host sync. A production
+    # server keeps the device queue full with async dispatch, so per-step
+    # host round-trips are not part of steady-state throughput; under the
+    # axon tunnel each per-step dispatch costs ~1-3.5 ms of pure harness
+    # overhead (BENCH_NOTES.md quirks), which the host-loop mode charges
+    # to the model. Both modes are measured side by side in BENCH_NOTES.
+    loop_mode = os.environ.get("BENCH_LOOP", "host")
 
-    t0 = time.perf_counter()
-    x = lq
-    for _ in range(iters):
-        x, out = step(params, x)
-    float(out.mean())  # host transfer == hard sync
-    dt = time.perf_counter() - t0
+    if loop_mode == "scan":
+        @jax.jit
+        def run(p, x0):
+            def body(x, _):
+                x, out = step(p, x)
+                return x, ()
+            x, _ = jax.lax.scan(body, x0, None, length=iters)
+            return x
+
+        run(params, lq).block_until_ready()  # warmup + compile
+        t0 = time.perf_counter()
+        x = run(params, lq)
+        float(jnp.mean(x))  # host transfer == hard sync
+        dt = time.perf_counter() - t0
+    else:
+        x, out = step(params, lq)  # warmup + compile
+        float(out.mean())
+
+        t0 = time.perf_counter()
+        x = lq
+        for _ in range(iters):
+            x, out = step(params, x)
+        float(out.mean())  # host transfer == hard sync
+        dt = time.perf_counter() - t0
 
     crops_per_sec = batch * iters / dt
     print(json.dumps({

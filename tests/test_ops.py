@@ -472,3 +472,25 @@ class TestWidthFold:
         got = folded.apply(params, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestPallasConv:
+    """Implicit-GEMM Pallas conv3x3 (ops/pallas_conv.py) vs the XLA conv
+    it may replace in the SFT stacks — exactness in interpreter mode."""
+
+    @pytest.mark.parametrize("shape", [(2, 8, 8, 256, 128),
+                                       (1, 8, 16, 512, 256)])
+    def test_matches_xla_conv(self, rng, shape):
+        from marconet_tpu.ops.pallas_conv import conv3x3_same
+
+        n, h, w, ci, co = shape
+        x = jnp.asarray(rng.standard_normal((n, h, w, ci)) * 0.3,
+                        jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.05,
+                        jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = conv3x3_same(x, k, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
