@@ -38,11 +38,19 @@ def main():
     slots = int(os.environ.get("BENCH_SLOTS", "8"))
 
     net = MARCONet(dtype=jnp.bfloat16)
-    params = net.init(jax.random.PRNGKey(0))
-    # cast once: otherwise every step converts 88M f32 params to bf16
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+
+    # jit the whole init + bf16 cast: ONE compiled program instead of
+    # hundreds of tiny eager dispatches, each a remote compile through
+    # the tunnel on a cache miss (the bench_train/dryrun trick). The
+    # cast also means no step-time conversion of 88M f32 params.
+    @jax.jit
+    def init_params(key):
+        p = net.init(key)
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, p)
+
+    params = init_params(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
     lq = jnp.asarray(rng.uniform(-1, 1, (batch, 32, 512, 3))

@@ -52,7 +52,7 @@ from marconet_tpu.ops.layers import (
 )
 from marconet_tpu.ops.phase import phase_unpack
 from marconet_tpu.ops.resize import upsample2x_bilinear
-from marconet_tpu.ops.widthfold import phase_to_wfold, wunfold
+from marconet_tpu.ops.widthfold import wunfold
 from marconet_tpu.ops.window import gather_windows, gather_windows_per_slot
 
 Dtype = Any
@@ -342,8 +342,10 @@ def _tail_form_default() -> str:
       ``phase`` — 2x2 subpixel phases packed into channels
         (``ops/phase.py``);
       ``wfold`` — hi-res columns width-folded into channels
-        (``ops/widthfold``): one (3,3,2I,2O) conv per hi-res conv at
-        128 channels (opt-in pending chip A/B — see BENCH_NOTES.md).
+        (``ops/widthfold``), entered DIRECTLY by final_b's
+        lhs-H-dilated fused upsample-conv (no relayout). The TPU
+        default: chip A/B 118.1 vs 114.4 crops/s e2e over the phase
+        tail (BENCH_NOTES.md round 4).
 
     ``MARCONET_TAIL=plain|phase|wfold`` forces; the older
     ``MARCONET_PHASE_TAIL=0/1`` still forces plain/phase.
@@ -355,7 +357,7 @@ def _tail_form_default() -> str:
     if env is not None:
         return "phase" if env == "1" else "plain"
     try:
-        return "phase" if jax.default_backend() == "tpu" else "plain"
+        return "wfold" if jax.default_backend() == "tpu" else "plain"
     except Exception:  # pragma: no cover
         return "plain"
 
@@ -459,16 +461,17 @@ class StructurePriorSRNet(nn.Module):
                        name="final_out")(x)
             return phase_unpack(jnp.tanh(x))
         if tail == "wfold":
-            # width-folded layout (ops/widthfold): final_b still emits
-            # phases (the fused upsample-conv's natural output — its row
-            # count doubles, which a single folded conv cannot do), one
-            # free-ish transpose re-lays them as wfold-2, and the rest of
-            # the chain runs as 2x-channel folded convs; the final
+            # width-folded layout (ops/widthfold): final_b emits the
+            # folded hi-res canvas DIRECTLY as one lhs-H-dilated conv
+            # (no phase->wfold relayout transpose — the transpose cost
+            # ~7 ms and ate the folded convs' win, probe
+            # tools/probe_tail_entry.py: 15.8 ms direct vs 21.9 phase
+            # vs 20.3 transpose-entry for the full tail); the rest of
+            # the chain runs as 2x-channel folded convs and the final
             # unfold back to 128 x 2048 is a free reshape
             x = leaky_relu(SNConv(d // 4, update_stats=us, dtype=dt,
-                                  pre_upsample=True, phase_output=True,
+                                  pre_upsample=True, wfold_output=True,
                                   name="final_b")(x))
-            x = phase_to_wfold(x)
             x = ResTextBlockV2(d // 4, update_stats=us, dtype=dt,
                                wfold=True, name="final_res")(x)
             x = SNConv(3, update_stats=us, dtype=dt, wfold_input=True,

@@ -214,8 +214,12 @@ class SNConv(nn.Module):
     phase_output: bool = False
     # width-folded (ops/widthfold) layout: consume/produce (B, H, W/2,
     # 2C) tensors — the hi-res conv runs as ONE folded conv with a
-    # trace-time-derived kernel. Parameter shapes unchanged.
+    # trace-time-derived kernel. Parameter shapes unchanged. With
+    # pre_upsample + wfold_output the fused upsample-conv emits the
+    # folded hi-res canvas DIRECTLY (one lhs-H-dilated conv — no
+    # phase->wfold relayout transpose; ops/widthfold).
     wfold_input: bool = False
+    wfold_output: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -283,6 +287,10 @@ class SNConv(nn.Module):
                 from marconet_tpu.ops.phase import \
                     conv3x3_after_upsample2x_phase
                 y = conv3x3_after_upsample2x_phase(x.astype(self.dtype), w)
+            elif self.wfold_output:
+                from marconet_tpu.ops.widthfold import \
+                    conv3x3_after_upsample2x_wfold
+                y = conv3x3_after_upsample2x_wfold(x.astype(self.dtype), w)
             else:
                 from marconet_tpu.ops.resize import conv3x3_after_upsample2x
                 y = conv3x3_after_upsample2x(x.astype(self.dtype), w)
@@ -306,7 +314,8 @@ class SNConv(nn.Module):
             bias = bias.astype(self.dtype)
             if self.phase_input or (self.pre_upsample and self.phase_output):
                 bias = jnp.tile(bias, 4)  # one copy per subpixel phase
-            elif self.wfold_input:
+            elif self.wfold_input or (self.pre_upsample
+                                      and self.wfold_output):
                 bias = jnp.tile(bias, 2)  # one copy per column phase
             y = y + bias
         return y

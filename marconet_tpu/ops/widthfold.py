@@ -92,6 +92,82 @@ def phase_to_wfold(x: jax.Array) -> jax.Array:
     return y.transpose(0, 1, 3, 2, 4).reshape(b, 2 * h, w, 2 * c)
 
 
+def upconv_wfold_kernel(k3: jax.Array) -> jax.Array:
+    """(3,3,I,O) -> (6,3,I,2O) kernel emitting wfold-2 output directly.
+
+    ``conv3x3(zero-SAME, upsample2x_bilinear(x))`` with the output
+    width-folded (hi-res column phase ``q`` in channel block ``q``) and
+    the output ROW dimension real — computed as ONE lhs-H-dilated conv,
+    so no phase->wfold relayout transpose is ever needed (the entry
+    relayout cost ~7 ms standalone and ate the folded tail's win;
+    probe: ``tools/probe_tail_entry.py``).
+
+    Derivation: with the input H-dilated by 2 (``x[i]`` at dilated row
+    ``2i``) and left row padding 3, output row ``Y = 2i+p`` reads
+    ``x[i+di]`` through kernel row ``kr = 3 - p + 2*di`` — row phase
+    ``p`` lands on alternating taps. Each (kr, q) tap holds the
+    composed upsample+conv phase kernel ``K_pq``
+    (``ops/phase.upconv_phase_kernel``); width taps are plain over the
+    low-res columns.
+    """
+    from marconet_tpu.ops.phase import upconv_phase_kernel
+
+    k4 = upconv_phase_kernel(k3)  # (3,3,I,4O), blocks ordered 2p+q
+    ci, co = k3.shape[2], k3.shape[3]
+    k6 = jnp.zeros((6, 3, ci, 2 * co), k3.dtype)
+    for p in (0, 1):
+        for di in (-1, 0, 1):
+            kr = 3 - p + 2 * di
+            for q in (0, 1):
+                k6 = k6.at[kr, :, :, q * co:(q + 1) * co].add(
+                    k4[di + 1, :, :, (2 * p + q) * co:(2 * p + q + 1) * co])
+    return k6
+
+
+def conv3x3_after_upsample2x_wfold(x: jax.Array, k3: jax.Array) -> jax.Array:
+    """Exactly ``wfold(conv3x3(zero-SAME, upsample2x_bilinear(x)), 2)``.
+
+    x: (B, H, W, I) plain low-res; returns (B, 2H, W, 2O) width-folded
+    hi-res. One lhs-H-dilated conv on the edge-padded input (the edge
+    pad implements the bilinear border clamp), then the four 1-px
+    hi-res borders are patched from the exact separate-path strips
+    (``resize.border_strips``) with fused pad+where selects — top/bot
+    are one folded row, left is (folded col 0, block 0), right is
+    (folded col W-1, block 1); left/right applied last own the corners
+    (same convention as the dense and phase forms).
+    """
+    from marconet_tpu.ops.resize import border_strips
+
+    b, h, w, _ = x.shape
+    co = k3.shape[-1]
+    k6 = upconv_wfold_kernel(k3.astype(x.dtype))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    # padded rows i' = i+1: wanted output rows Y' = 2i'+p span 2..2h+1
+    # of the length-(2h+4) conv output ((2(h+2)-1) + 3 + 1 - 6 + 1)
+    out = jax.lax.conv_general_dilated(
+        xp, k6, (1, 1), ((3, 1), (0, 0)), lhs_dilation=(2, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.slice_in_dim(out, 2, 2 + 2 * h, axis=1)
+
+    top, bot, left, right = border_strips(x, k3.astype(x.dtype))
+    ri = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * h, 1, 1), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 2 * co), 3)
+    # top/bottom hi-res rows: (B,1,2W,O) reshapes straight to folded
+    vt = jnp.pad(top.reshape(b, 1, w, 2 * co),
+                 ((0, 0), (0, 2 * h - 1), (0, 0), (0, 0)))
+    out = jnp.where(ri == 0, vt, out)
+    vb = jnp.pad(bot.reshape(b, 1, w, 2 * co),
+                 ((0, 0), (2 * h - 1, 0), (0, 0), (0, 0)))
+    out = jnp.where(ri == 2 * h - 1, vb, out)
+    # left hi-res col 0 = (folded col 0, block q=0); right = (W-1, q=1)
+    vl = jnp.pad(left, ((0, 0), (0, 0), (0, w - 1), (0, co)))
+    out = jnp.where((ci == 0) & (ch < co), vl, out)
+    vr = jnp.pad(right, ((0, 0), (0, 0), (w - 1, 0), (co, 0)))
+    out = jnp.where((ci == w - 1) & (ch >= co), vr, out)
+    return out
+
+
 def wfold_group_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                      num_groups: int, eps: float = 1e-6,
                      f: int = 2) -> jax.Array:

@@ -438,6 +438,25 @@ class TestWidthFold:
         got = wunfold(phase_to_wfold(phase_pack(y)), 2)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(y))
 
+    def test_upconv_wfold_matches_separate(self, rng):
+        """conv3x3_after_upsample2x_wfold (one lhs-H-dilated conv, no
+        relayout) == wfold of the exact separate upsample->conv path,
+        INCLUDING the four 1-px hi-res borders."""
+        from marconet_tpu.ops.resize import upsample2x_bilinear
+        from marconet_tpu.ops.widthfold import (
+            conv3x3_after_upsample2x_wfold, wfold)
+
+        B, H, W, CI, CO = 2, 6, 10, 5, 3
+        x = jnp.asarray(rng.standard_normal((B, H, W, CI)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, CI, CO)) * 0.2,
+                        jnp.float32)
+        ref = wfold(jax.lax.conv_general_dilated(
+            upsample2x_bilinear(x), k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), 2)
+        got = conv3x3_after_upsample2x_wfold(x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_wfold_group_norm_matches_hires(self, rng):
         """GroupNorm computed in wfold layout == hi-res GroupNorm."""
         from marconet_tpu.ops.layers import group_norm

@@ -51,8 +51,8 @@ def main():
 
     from marconet_tpu.models.srnet import (SFTFusion, SNStack,
                                            StructurePriorSRNet,
-                                           _gather_windows,
                                            _window_geometry)
+    from marconet_tpu.ops.window import gather_windows as _gather_windows
     from marconet_tpu.ops.layers import (ResTextBlockV2,
                                          adaptive_instance_norm,
                                          group_norm)
