@@ -153,6 +153,24 @@ def _sft_wb_default() -> str:
     return "direct" if _tpu_backend() else "flat"
 
 
+def _sft_gather_default() -> str:
+    """Window-gather formulation: 'padded' right-pads the canvas by hw
+    so every ``dynamic_slice`` start is in range (a full-canvas copy per
+    SFT scale, ~1.3 ms at the 64-high shape); 'padfree' gathers from the
+    unpadded canvas with starts clamped to ``W - win`` and rebases the
+    column-validity mask / prior crop / write-back selection by the
+    clamp offset — exactly the same math (the rebased mask zeroes the
+    same columns the pad's zeros occupied). Chip A/B (round 4,
+    BENCH_NOTES.md): padfree 119.95 vs padded 118.85 crops/s e2e, so it
+    is the TPU default; on CPU it only adds compile surface.
+    ``MARCONET_SFT_GATHER`` forces; both exact
+    (tests/test_models.py::TestSFTFold::test_padfree_gather_equivalent)."""
+    env = os.environ.get("MARCONET_SFT_GATHER")
+    if env is not None:
+        return env
+    return "padfree" if _tpu_backend() else "padded"
+
+
 class SFTFusion(nn.Module):
     """One scale of per-character SFT fusion (batched, masked)."""
 
@@ -179,9 +197,31 @@ class SFTFusion(nn.Module):
 
         x1, L, y1 = _window_geometry(locs, hw, width)
 
-        # column-validity mask (B, N, 1, win, 1)
+        use_pallas = (pallas_sft.use_pallas_sft(self.update_stats, c)
+                      and width % 16 == 0 and win % 16 == 0
+                      and width >= win + 16)
+        # the opt-in Pallas write-back assumes window col v <-> canvas
+        # col x1+v, so it requires the padded gather layout; clamped
+        # starts also need the canvas to be at least one window wide
+        padfree = (not use_pallas) and width >= win \
+            and _sft_gather_default() == "padfree"
+
         cols = jnp.arange(win)
-        colmask = (cols[None, None, :] < L[:, :, None]).astype(canvas.dtype)
+        if padfree:
+            # gather from the UNPADDED canvas with starts clamped into
+            # range; window col v holds canvas col x1c+v, and canvas
+            # cols x1..x1+L-1 live at window cols off..off+L-1
+            x1c = jnp.minimum(x1, width - win)
+            off = x1 - x1c  # nonzero only for right-edge windows
+            colmask = ((cols[None, None, :] >= off[:, :, None]) &
+                       (cols[None, None, :] <
+                        (off + L)[:, :, None])).astype(canvas.dtype)
+        else:
+            x1c = x1
+            off = None
+            colmask = (cols[None, None, :] <
+                       L[:, :, None]).astype(canvas.dtype)
+        # column-validity mask (B, N, 1, win, 1)
         colmask = colmask[:, :, None, :, None]
 
         # flatten slots into the batch: one big conv program
@@ -190,15 +230,26 @@ class SFTFusion(nn.Module):
 
         m = colmask.reshape(b * n, 1, win, 1)
 
-        # windows from the right-padded canvas — constant width `win`;
-        # hw pad suffices: x1 <= W - hw - 1, so x1 + win <= W + hw - 1
-        padded = jnp.pad(canvas, ((0, 0), (0, 0), (0, hw), (0, 0)))
-        lq_win = gather_windows(padded, x1, win)  # (B, N, H, win, C)
+        if padfree:
+            lq_win = gather_windows(canvas, x1c, win)  # (B, N, H, win, C)
+            # prior crop rebased by the clamp offset: window col v holds
+            # prior col y1+v-off, and y1-off spans [-hw, hw] — pad both
+            # sides by hw and gather at y1-off+hw in [0, 2*hw]
+            prior_pad = jnp.pad(priors, ((0, 0), (0, 0), (0, 0),
+                                         (hw, hw), (0, 0)))
+            prior_win = gather_windows_per_slot(prior_pad, y1 - off + hw,
+                                                win)
+        else:
+            # windows from the right-padded canvas — constant width
+            # `win`; hw pad suffices: x1 <= W - hw - 1, so
+            # x1 + win <= W + hw - 1
+            padded = jnp.pad(canvas, ((0, 0), (0, 0), (0, hw), (0, 0)))
+            lq_win = gather_windows(padded, x1, win)
 
-        # prior crop: cols y1..y1+L map to window cols 0..L; y1 <= hw
-        prior_pad = jnp.pad(priors, ((0, 0), (0, 0), (0, 0), (0, hw),
-                                     (0, 0)))
-        prior_win = gather_windows_per_slot(prior_pad, y1, win)
+            # prior crop: cols y1..y1+L map to window cols 0..L; y1 <= hw
+            prior_pad = jnp.pad(priors, ((0, 0), (0, 0), (0, 0), (0, hw),
+                                         (0, 0)))
+            prior_win = gather_windows_per_slot(prior_pad, y1, win)
 
         lq_f, prior_f = flat(lq_win), flat(prior_win)
         lq_f = lq_f * m.astype(lq_f.dtype)
@@ -284,9 +335,7 @@ class SFTFusion(nn.Module):
                             dtype=self.dtype, name="shift")(fuse, mask=m)
         out_win = (lq_f * scale + shift).reshape(b, n, h, win, c)
 
-        if pallas_sft.use_pallas_sft(self.update_stats, c) \
-                and width % 16 == 0 and win % 16 == 0 \
-                and width >= win + 16:
+        if use_pallas:
             # opt-in Pallas write-back: sequential RMW window DMAs with
             # the reference's overlap semantics — the formulation for
             # shapes where the selection matmul below would dominate
@@ -311,8 +360,11 @@ class SFTFusion(nn.Module):
         # vectorize on TPU).
         sel_slot = (winner[:, :, None] ==
                     jnp.arange(n)[None, None, :])                 # (B,W,N)
+        # output column w takes window column w - x1c of its winning
+        # slot (x1c == x1 in the padded layout; in the pad-free layout
+        # the clamp offset shifts window coords by off = x1 - x1c)
         rel = (jnp.arange(width)[None, :, None] -
-               x1[:, None, :])                                    # (B,W,N)
+               x1c[:, None, :])                                   # (B,W,N)
         sel_col = (rel[..., None] ==
                    jnp.arange(win)[None, None, None, :])          # (B,W,N,win)
         sel = (sel_slot[..., None] & sel_col).astype(canvas.dtype)

@@ -340,6 +340,47 @@ class TestSFTFold:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4)
 
+    def test_padfree_gather_equivalent(self, monkeypatch):
+        """The pad-free gather (clamped starts + rebased column mask /
+        prior crop / selection) must match the padded layout exactly —
+        including right-edge windows where the clamp offset is nonzero,
+        left-edge truncation, overlap (later slot wins) and masked
+        slots."""
+        from marconet_tpu.models.srnet import SFTFusion
+
+        rng = np.random.default_rng(7)
+        b, n, h, hw, c = 2, 4, 8, 8, 16
+        canvas = jnp.asarray(rng.standard_normal((b, h, 8 * hw, c)) * 0.3,
+                             jnp.float32)
+        priors = jnp.asarray(
+            rng.standard_normal((b, n, h, 2 * hw, c)) * 0.2, jnp.float32)
+        # slot 0 left-truncated, slot 1 interior, slot 2 right-edge
+        # (clamped start, off > 0), slot 3 masked off; second sample
+        # adds an overlapping pair
+        locs = jnp.asarray(
+            [[0.02, 0.1, 0.5, 0.1, 0.97, 0.1, 0.4, 0.1],
+             [0.30, 0.1, 0.35, 0.1, 0.99, 0.1, 0.6, 0.1]], jnp.float32)
+        mask = jnp.asarray([[1.0, 1.0, 1.0, 0.0],
+                            [1.0, 1.0, 1.0, 0.0]], jnp.float32)
+
+        mod = SFTFusion(half_width=hw, features=c)
+        monkeypatch.setenv("MARCONET_SFT_GATHER", "padded")
+        variables = mod.init(jax.random.PRNGKey(1), canvas, priors, locs,
+                             mask)
+        ref = mod.apply(variables, canvas, priors, locs, mask)
+        monkeypatch.setenv("MARCONET_SFT_GATHER", "padfree")
+        got = mod.apply(variables, canvas, priors, locs, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+        # and under the folded-moments formulation
+        monkeypatch.setenv("MARCONET_SFT_FOLD", "1")
+        monkeypatch.setenv("MARCONET_SFT_GATHER", "padded")
+        ref2 = mod.apply(variables, canvas, priors, locs, mask)
+        monkeypatch.setenv("MARCONET_SFT_GATHER", "padfree")
+        got2 = mod.apply(variables, canvas, priors, locs, mask)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                                   atol=1e-6)
+
     def test_writeback_direct_equivalent(self, monkeypatch):
         """The direct (no pre-transpose) write-back einsum must be
         bit-compatible with the flattened form."""

@@ -76,6 +76,25 @@ def main():
     # 5-net params + optimizer state live across each step (OOM risk on a
     # 16 GB chip at width 1.0)
     step = jax.jit(trainer.train_step, donate_argnums=0)
+
+    def cost(lowered, label):
+        # XLA's own accounting for the compiled program: the MXU floor
+        # at the v5e bf16 peak and the HBM floor at 819 GB/s — the two
+        # physical bounds the measured step time is judged against
+        try:
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fl = float(ca.get("flops", 0.0))
+            by = float(ca.get("bytes accessed", 0.0))
+            print(f"{label} cost: {fl / 1e12:.3f} TFLOP -> "
+                  f"{fl / 197e12 * 1e3:.1f} ms MXU floor; "
+                  f"{by / 1e9:.2f} GB -> {by / 819e9 * 1e3:.1f} ms "
+                  f"HBM floor", flush=True)
+        except Exception as e:  # pragma: no cover
+            print(f"{label} cost analysis unavailable: {e}", flush=True)
+
+    cost(step.lower(state, batch), "step")
     t0 = time.time()
     st, metrics = step(state, batch)
     del state  # buffers donated — invalid from here on
@@ -102,6 +121,7 @@ def main():
 
     g_params = (state.encoder["params"], state.prior["params"],
                 state.srnet["params"])
+    cost(g_phase.lower(g_params, state, batch), "G phase")
     loss, grads = g_phase(g_params, state, batch)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
