@@ -171,6 +171,20 @@ def _sft_gather_default() -> str:
     return "padfree" if _tpu_backend() else "padded"
 
 
+def _sft_prior_default() -> str:
+    """Prior-crop formulation inside the pad-free gather: 'gather' pads
+    the priors both sides by hw and dynamic-slices per slot; 'shiftmm'
+    applies the per-slot column shift as a one-hot matmul with no pad
+    copy at all. Both exact
+    (tests/test_models.py::TestSFTFold::test_padfree_gather_equivalent).
+    ``MARCONET_SFT_PRIOR`` forces; default 'gather' until the chip A/B
+    lands (BENCH_NOTES.md)."""
+    env = os.environ.get("MARCONET_SFT_PRIOR")
+    if env is not None:
+        return env
+    return "gather"
+
+
 class SFTFusion(nn.Module):
     """One scale of per-character SFT fusion (batched, masked)."""
 
@@ -233,12 +247,28 @@ class SFTFusion(nn.Module):
         if padfree:
             lq_win = gather_windows(canvas, x1c, win)  # (B, N, H, win, C)
             # prior crop rebased by the clamp offset: window col v holds
-            # prior col y1+v-off, and y1-off spans [-hw, hw] — pad both
-            # sides by hw and gather at y1-off+hw in [0, 2*hw]
-            prior_pad = jnp.pad(priors, ((0, 0), (0, 0), (0, 0),
-                                         (hw, hw), (0, 0)))
-            prior_win = gather_windows_per_slot(prior_pad, y1 - off + hw,
-                                                win)
+            # prior col y1+v-off, and y1-off spans [-hw, hw]
+            if _sft_prior_default() == "shiftmm":
+                # pad-free per-slot shift as a one-hot matmul: window
+                # col v picks prior col v+s (out-of-range -> zero row,
+                # exactly the pad's zeros); one 2*B*N*win^2*H*C-FLOP
+                # einsum (~17 GFLOP at the 64-high shape, trivial on
+                # the MXU) instead of a both-sides pad copy + gather,
+                # and its autodiff transpose is the same einsum
+                shift = (y1 - off)[:, :, None, None]       # (B, N, 1, 1)
+                u = jnp.arange(win)
+                sel = (u[None, None, None, :] ==
+                       (u[None, None, :, None] + shift))   # (B,N,v,u)
+                prior_win = jnp.einsum(
+                    "bnvu,bnhuc->bnhvc", sel.astype(priors.dtype),
+                    priors, preferred_element_type=priors.dtype)
+            else:
+                # pad both sides by hw and gather at y1-off+hw in
+                # [0, 2*hw]
+                prior_pad = jnp.pad(priors, ((0, 0), (0, 0), (0, 0),
+                                             (hw, hw), (0, 0)))
+                prior_win = gather_windows_per_slot(prior_pad,
+                                                    y1 - off + hw, win)
         else:
             # windows from the right-padded canvas — constant width
             # `win`; hw pad suffices: x1 <= W - hw - 1, so

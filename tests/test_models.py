@@ -372,6 +372,12 @@ class TestSFTFold:
         got = mod.apply(variables, canvas, priors, locs, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
+        # the shift-matmul prior crop inside padfree
+        monkeypatch.setenv("MARCONET_SFT_PRIOR", "shiftmm")
+        got_mm = mod.apply(variables, canvas, priors, locs, mask)
+        np.testing.assert_allclose(np.asarray(got_mm), np.asarray(ref),
+                                   atol=1e-6)
+        monkeypatch.delenv("MARCONET_SFT_PRIOR")
         # and under the folded-moments formulation
         monkeypatch.setenv("MARCONET_SFT_FOLD", "1")
         monkeypatch.setenv("MARCONET_SFT_GATHER", "padded")
