@@ -9,6 +9,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is against the 500 crops/sec/chip north star
 (BASELINE.md; the reference's measurable baseline is a CPU-only
 19.5 s/image survey measurement — no GPU figure is published).
+
+Scope disclosure: the measured program keeps only ``out.sr`` live, so
+XLA dead-code-eliminates the prior generator's 128-res ToRGB chain
+(the glyph images the reference renders for its collage). The metric
+is SR crops/s — the RGB branch is a visualization output, measured
+separately by ``tools/bench_prior_parts.py``.
+
+Per-window wall times go to stderr (the min is the headline; windows
+are independent, so earlier single-window rounds remain comparable).
 """
 
 import json
@@ -111,13 +120,17 @@ def main():
         # min-of-repeats) — it discards interference, never the model
         windows = int(os.environ.get("BENCH_WINDOWS", "3"))
         dt = float("inf")
-        for _ in range(windows):
+        for w in range(windows):
             t0 = time.perf_counter()
             x = lq
             for _ in range(iters):
                 x, out = step(params, x)
             float(out.mean())  # host transfer == hard sync
-            dt = min(dt, time.perf_counter() - t0)
+            dw = time.perf_counter() - t0
+            print(f"window {w}: {dw:.3f}s = "
+                  f"{batch * iters / dw:.2f} crops/s", file=sys.stderr,
+                  flush=True)
+            dt = min(dt, dw)
 
     crops_per_sec = batch * iters / dt
     print(json.dumps({

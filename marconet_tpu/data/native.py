@@ -27,6 +27,8 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    if os.environ.get("MARCONET_NATIVE", "1") == "0":
+        return None  # forced numpy/scipy fallback (bench A/Bs)
     if not os.path.exists(_LIB_PATH):
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,

@@ -297,9 +297,10 @@ class TextViTHead(nn.Module):
 def _enc_fold_default() -> int:
     """Width-fold factor for the encoder's low-channel ResNet stages.
 
-    ``MARCONET_ENC_FOLD`` overrides; default 1 (plain) pending the chip
-    A/B (BENCH_NOTES.md round-4 queue) — never default-enable an
-    unmeasured formulation.
+    ``MARCONET_ENC_FOLD`` overrides; default 1 (plain): the round-4 chip
+    A/B measured fold=2 at 114.71 and fold=4 at 114.59 vs the 114.5
+    default — noise (BENCH_NOTES.md). The encoder's 56% MXU is not
+    lane-padding-bound, so the fold stays an opt-in formulation.
     """
     return int(os.environ.get("MARCONET_ENC_FOLD", "1"))
 

@@ -268,15 +268,65 @@ class CharacterFrontend:
                           offset=self._ocr_offset)[0]
         return text.replace(" ", "")
 
+    def recognize_segments(self,
+                           segments: Sequence[np.ndarray]) -> List[str]:
+        """Recognize N masked segments in batched recognizer calls.
+
+        The per-character loop of the reference
+        (``utils/yolo_ocr_xloc.py:41-97``) issues one recognizer forward
+        per box; with the canonical-width geometry every prepared
+        segment has the same (32, W, 3) shape, so a whole line's windows
+        run as ONE jitted forward. Segments are grouped by prepared
+        width (a single group under a loaded checkpoint; the weight-free
+        64-multiple widths bucket naturally) and the batch dim is padded
+        to the next power of two so at most ~log2(max_det) programs are
+        ever compiled. Row-independent ops only (LayerNorm/attention are
+        per-sample), so the result equals the per-segment path —
+        asserted in tests/test_frontend.py.
+        """
+        import jax.numpy as jnp
+
+        from marconet_tpu.alphabet import ALPHABET
+        from marconet_tpu.models.convnext_ocr import decode_ctc
+
+        if self._ocr is None or len(segments) == 0:
+            return ["" for _ in segments]
+        cw = self._ocr_cfg.canonical_width
+        prepared = [prepare_segment(s, cw) for s in segments]
+        charset = self._ocr_charset or ALPHABET
+        out: List[Optional[str]] = [None] * len(prepared)
+        by_width = {}
+        for i, seg in enumerate(prepared):
+            by_width.setdefault(seg.shape[1], []).append(i)
+        for idxs in by_width.values():
+            x = np.stack([prepared[i] for i in idxs]).astype(np.float32)
+            x = (x / 255.0 - 0.5) / 0.5
+            n = len(idxs)
+            nb = 1 << (n - 1).bit_length()  # bucket: 1,2,4,8,...
+            if nb > n:
+                x = np.concatenate(
+                    [x, np.zeros((nb - n,) + x.shape[1:], x.dtype)])
+            logits = self._recognize(jnp.asarray(x))
+            texts = decode_ctc(np.asarray(logits)[:n], charset=charset,
+                               blank=self._ocr_cfg.blank_index,
+                               offset=self._ocr_offset)
+            for i, t in zip(idxs, texts):
+                out[i] = t.replace(" ", "")
+        return out  # type: ignore[return-value]
+
     # -- full pipeline -----------------------------------------------------
 
     def __call__(self, img_rgb: np.ndarray) -> FrontendResult:
         boxes = self.detect_boxes(img_rgb)
+        segs, starts = [], []
+        for j in range(len(boxes)):
+            seg, start = mask_segment(img_rgb, boxes, j)
+            segs.append(seg)
+            starts.append(start)
+        texts = self.recognize_segments(segs)
         chars: List[str] = []
         centers: List[int] = []
-        for j, box in enumerate(boxes):
-            seg, start = mask_segment(img_rgb, boxes, j)
-            text = self.recognize_segment(seg)
+        for j, (box, start, text) in enumerate(zip(boxes, starts, texts)):
             if len(text) > 0:
                 chars.append(text[min(j - start, len(text) - 1)])
             else:

@@ -177,12 +177,14 @@ def _sft_prior_default() -> str:
     applies the per-slot column shift as a one-hot matmul with no pad
     copy at all. Both exact
     (tests/test_models.py::TestSFTFold::test_padfree_gather_equivalent).
-    ``MARCONET_SFT_PRIOR`` forces; default 'gather' until the chip A/B
-    lands (BENCH_NOTES.md)."""
+    ``MARCONET_SFT_PRIOR`` forces; default 'shiftmm': chip A/B measured
+    123.9 / 123.2 crops/s e2e on two independent runs vs 120.2 for
+    'gather' (BENCH_NOTES.md round-5 table). Only read on the padfree
+    path, which is itself TPU-gated."""
     env = os.environ.get("MARCONET_SFT_PRIOR")
     if env is not None:
         return env
-    return "gather"
+    return "shiftmm"
 
 
 class SFTFusion(nn.Module):

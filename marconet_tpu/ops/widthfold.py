@@ -143,7 +143,7 @@ def conv3x3_after_upsample2x_wfold(x: jax.Array, k3: jax.Array) -> jax.Array:
     k6 = upconv_wfold_kernel(k3.astype(x.dtype))
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     # padded rows i' = i+1: wanted output rows Y' = 2i'+p span 2..2h+1
-    # of the length-(2h+4) conv output ((2(h+2)-1) + 3 + 1 - 6 + 1)
+    # of the length-(2h+2) conv output ((2(h+2)-1) + 3 + 1 - 6 + 1)
     out = jax.lax.conv_general_dilated(
         xp, k6, (1, 1), ((3, 1), (0, 0)), lhs_dilation=(2, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

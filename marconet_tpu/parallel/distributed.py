@@ -96,3 +96,24 @@ def make_global_batch(mesh, local_tree: Any, axis: Any = None) -> Any:
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
             sh, np.asarray(x)), local_tree)
+
+
+def local_rows(arr) -> np.ndarray:
+    """This process's addressable axis-0 rows of a global ``jax.Array``,
+    concatenated in global row order (replica shards deduped).
+
+    The read-side inverse of :func:`make_global_batch` for outputs of an
+    SPMD step: under pure data parallelism each host's addressable
+    shards hold exactly the result rows for the batch rows that host fed
+    in, so rank 0 can assemble its own rows of a batched output without
+    any cross-host gather. Used for multi-process visual validation —
+    the reference logs visuals on rank 0 under DDP
+    (``Train/tspgan/models/tspgan_model.py:610-612``). Batch (ndim >= 1)
+    arrays only.
+    """
+    shards = {}
+    for s in arr.addressable_shards:
+        idx = s.index[0] if s.index else slice(None)
+        start = 0 if idx.start is None else int(idx.start)
+        shards.setdefault(start, np.asarray(s.data))
+    return np.concatenate([shards[k] for k in sorted(shards)], axis=0)

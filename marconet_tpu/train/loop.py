@@ -116,8 +116,9 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
     import jax
     import jax.numpy as jnp
 
-    from marconet_tpu.parallel import (make_global_batch, make_mesh,
-                                       maybe_initialize, shard_batch)
+    from marconet_tpu.parallel import (local_rows, make_global_batch,
+                                       make_mesh, maybe_initialize,
+                                       shard_batch)
     from marconet_tpu.parallel.mesh import replicate_tree
     from marconet_tpu.train import checkpoint as ckpt
     from marconet_tpu.train.train_step import (MARCONetTrainer, TrainBatch,
@@ -209,21 +210,31 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
 
     def log_visuals(state, batch: TrainBatch, step: int):
         """TB image grids every val_freq iters (reference
-        ``tspgan_model.py:615-621``)."""
+        ``tspgan_model.py:615-621``).
+
+        SPMD: EVERY process enters (the jitted forward over global
+        arrays is a collective program); only the main process then
+        assembles grids — from its own addressable shard rows, so no
+        host ever needs rows it doesn't hold. Rank-0 visual logging
+        under multi-process matches the reference's DDP rank-0
+        validation (``tspgan_model.py:610-612``).
+        """
         from marconet_tpu.train.visuals import build_visual_grids
 
-        vis = {k: np.asarray(v) for k, v in
-               visual_fn(state, batch).items()}
+        vis_dev = visual_fn(state, batch)
+        if writer is None:
+            return
+        vis = {k: local_rows(v) for k, v in vis_dev.items()}
         font = None
         if loop.font_dir and os.path.isdir(loop.font_dir):
             cands = sorted(os.listdir(loop.font_dir))
             if cands:
                 font = os.path.join(loop.font_dir, cands[0])
         grids = build_visual_grids(
-            gt=np.asarray(batch.gt), lq=np.asarray(batch.lq),
+            gt=local_rows(batch.gt), lq=local_rows(batch.lq),
             sr=vis["sr"], prior128=vis["prior128"],
-            gt_chars=np.asarray(batch.gt_chars), pred_cw=vis["pred_cw"],
-            boxinfo_lr=np.asarray(batch.boxinfo_lr),
+            gt_chars=local_rows(batch.gt_chars), pred_cw=vis["pred_cw"],
+            boxinfo_lr=local_rows(batch.boxinfo_lr),
             pred_ids=vis["pred_ids"], font_path=font)
         for label, img in grids.items():
             writer.add_image(f"val/{label}", img, step,
@@ -262,13 +273,11 @@ def train(config: FullConfig, max_steps: Optional[int] = None):
                         writer.add_scalar(f"losses/{k}", v, step + 1)
                     writer.add_scalar("speed/samples_per_sec", rate,
                                       step + 1)
-            if writer and loop.val_freq > 0 and n_proc == 1 \
+            if loop.use_tb_logger and loop.val_freq > 0 \
                     and (step + 1) % loop.val_freq == 0:
-                # visual grids need the full host-side batch; with >1
-                # process no host can address every shard — rank-0-only
-                # validation is what the reference does too
-                # (tspgan_model.py:610-612), here restricted further to
-                # the single-host case
+                # collective: every process runs the visual forward;
+                # rank 0 (the only one with a writer) builds grids from
+                # its addressable shard rows
                 log_visuals(state, batch, step + 1)
             if (step + 1) % loop.save_freq == 0:
                 # every process participates (Orbax coordinates the write)

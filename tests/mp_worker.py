@@ -85,6 +85,28 @@ def main(pid: int, n_local: int, coordinator: str) -> None:
     if pid == 0:
         out = {k: float(v) for k, v in metrics.items()}
         print("MP_METRICS " + json.dumps(out), flush=True)
+
+    # rank-0 visual validation under multi-process (train/loop.py
+    # log_visuals): the visual forward is a collective SPMD program every
+    # process enters; each process's addressable rows of any batch-axis
+    # array are exactly the rows it fed, in feed order — pin that
+    # round-trip (make_global_batch -> local_rows), then assert rank 0
+    # can assemble its own SR rows without a cross-host gather.
+    from marconet_tpu.parallel import local_rows
+
+    np.testing.assert_array_equal(local_rows(batch.gt),
+                                  np.asarray(local["gt"]))
+    vis_c = jax.jit(trainer.visual_forward).lower(
+        new_state, batch).compile()
+    distributed.global_state.client.wait_at_barrier(
+        "mp_worker_vis_compiled", timeout_in_ms=30 * 60 * 1000)
+    vis = vis_c(new_state, batch)
+    sr_rows = local_rows(vis["sr"])
+    assert sr_rows.shape[0] == b // 2, sr_rows.shape
+    assert np.isfinite(sr_rows).all()
+    if pid == 0:
+        print("MP_VIS " + json.dumps({"sr_rows": list(sr_rows.shape)}),
+              flush=True)
     # every process must reach here for the run to count
     print(f"MP_OK p{pid}", flush=True)
 

@@ -519,3 +519,48 @@ class TestYOLOFullGraphOracle:
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_b), want_b,
                                    rtol=2e-4, atol=2e-2)
+
+
+class TestBatchedRecognizer:
+    """The batched ``recognize_segments`` must equal the per-segment
+    path (VERDICT r4 ask #3a): one canonical-width recognizer forward
+    per line instead of N sequential jit dispatches (reference issues
+    one forward per box, ``utils/yolo_ocr_xloc.py:90-97``)."""
+
+    @pytest.fixture(scope="class")
+    def fe(self):
+        from marconet_tpu.convert.ocr_import import convert_modelscope_ocr
+        from marconet_tpu.models.frontend import CharacterFrontend
+        from tests.ocr_spec import modelscope_ocr_state_spec
+
+        rng = np.random.default_rng(7)
+        variables, cfg = convert_modelscope_ocr(
+            modelscope_ocr_state_spec(rng))
+        # detector unused by recognition: None keeps the fixture light
+        return CharacterFrontend(None, jax.tree.map(jnp.asarray, variables),
+                                 ocr_config=cfg)
+
+    def test_batched_matches_per_segment(self, fe):
+        rng = np.random.default_rng(3)
+        segs = [rng.integers(0, 255, (48, w, 3)).astype(np.uint8)
+                for w in (40, 90, 130, 60, 75)]
+        single = [fe.recognize_segment(s) for s in segs]
+        batched = fe.recognize_segments(segs)
+        assert batched == single
+
+    def test_bucket_padding_is_inert(self, fe):
+        # 3 segments pad the batch to 4 — the zero rows must not change
+        # the live rows' decode vs an exact-size batch of 2 + 1
+        rng = np.random.default_rng(5)
+        segs = [rng.integers(0, 255, (48, 70, 3)).astype(np.uint8)
+                for _ in range(3)]
+        assert fe.recognize_segments(segs) == \
+            fe.recognize_segments(segs[:2]) + fe.recognize_segments(segs[2:])
+
+    def test_empty_and_no_ocr(self, fe):
+        from marconet_tpu.models.frontend import CharacterFrontend
+
+        assert fe.recognize_segments([]) == []
+        bare = CharacterFrontend(None)
+        seg = np.zeros((48, 64, 3), np.uint8)
+        assert bare.recognize_segments([seg, seg]) == ["", ""]

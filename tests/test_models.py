@@ -369,10 +369,13 @@ class TestSFTFold:
                              mask)
         ref = mod.apply(variables, canvas, priors, locs, mask)
         monkeypatch.setenv("MARCONET_SFT_GATHER", "padfree")
+        # the padded-prior dynamic-slice crop inside padfree (explicit:
+        # the default is now 'shiftmm', keep 'gather' covered)
+        monkeypatch.setenv("MARCONET_SFT_PRIOR", "gather")
         got = mod.apply(variables, canvas, priors, locs, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
-        # the shift-matmul prior crop inside padfree
+        # the shift-matmul prior crop inside padfree (the TPU default)
         monkeypatch.setenv("MARCONET_SFT_PRIOR", "shiftmm")
         got_mm = mod.apply(variables, canvas, priors, locs, mask)
         np.testing.assert_allclose(np.asarray(got_mm), np.asarray(ref),

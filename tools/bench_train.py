@@ -75,14 +75,12 @@ def main():
     # donate the carried state: without donation two full copies of the
     # 5-net params + optimizer state live across each step (OOM risk on a
     # 16 GB chip at width 1.0)
-    step = jax.jit(trainer.train_step, donate_argnums=0)
-
-    def cost(lowered, label):
+    def cost(compiled, label):
         # XLA's own accounting for the compiled program: the MXU floor
         # at the v5e bf16 peak and the HBM floor at 819 GB/s — the two
         # physical bounds the measured step time is judged against
         try:
-            ca = lowered.compile().cost_analysis()
+            ca = compiled.cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             fl = float(ca.get("flops", 0.0))
@@ -94,12 +92,18 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"{label} cost analysis unavailable: {e}", flush=True)
 
-    cost(step.lower(state, batch), "step")
+    # AOT compile once and time the SAME executable (compiling through
+    # jit again would redo the compile on this compile-dominated host)
+    t0 = time.time()
+    step = jax.jit(trainer.train_step, donate_argnums=0) \
+        .lower(state, batch).compile()
+    print(f"full-step compile {time.time() - t0:.1f}s", flush=True)
+    cost(step, "step")
     t0 = time.time()
     st, metrics = step(state, batch)
     del state  # buffers donated — invalid from here on
     jax.block_until_ready(metrics)
-    print(f"full-step compile+first {time.time() - t0:.1f}s  "
+    print(f"full-step first call {time.time() - t0:.1f}s  "
           f"l_g_total={float(metrics['l_g_total']):.3f}", flush=True)
 
     t0 = time.perf_counter()
@@ -113,15 +117,15 @@ def main():
     state = st  # post-loop state stands in for the phase breakdowns
 
     # ---- G phase (the value_and_grad over encoder+prior+srnet) -----------
-    @jax.jit
-    def g_phase(g_params, state, batch):
+    def g_phase_fn(g_params, state, batch):
         (_, aux), grads = jax.value_and_grad(
             trainer._g_loss, has_aux=True)(g_params, state, batch)
         return aux["metrics"]["l_g_total"], grads
 
     g_params = (state.encoder["params"], state.prior["params"],
                 state.srnet["params"])
-    cost(g_phase.lower(g_params, state, batch), "G phase")
+    g_phase = jax.jit(g_phase_fn).lower(g_params, state, batch).compile()
+    cost(g_phase, "G phase")
     loss, grads = g_phase(g_params, state, batch)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
