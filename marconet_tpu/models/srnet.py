@@ -144,9 +144,15 @@ def _sft_fold_default() -> bool:
 
 
 def _sft_wb_default() -> str:
-    """Write-back einsum layout: 'direct' contracts against the windows'
-    native (B,N,H,win,C) layout (+1.6 crops/s on v5e, round-4 A/B);
-    'flat' pre-transposes. ``MARCONET_SFT_WB`` forces; both exact."""
+    """Write-back formulation: 'direct' contracts the one-hot selection
+    against the windows' native (B,N,H,win,C) layout (+1.6 crops/s on
+    v5e, round-4 A/B); 'flat' pre-transposes; 'take' replaces the
+    selection einsum with a per-column row gather (take_along_axis) —
+    pure data movement instead of ~0.55 TFLOP/batch of artificial
+    contraction at the 64-high shape (probe tools/probe_writeback.py).
+    ``MARCONET_SFT_WB`` forces; all exact
+    (tests/test_models.py::TestSFTFold::test_writeback_direct_equivalent).
+    """
     env = os.environ.get("MARCONET_SFT_WB")
     if env is not None:
         return env
@@ -386,6 +392,22 @@ class SFTFusion(nn.Module):
                   (char_mask[:, :, None] > 0))                    # (B,N,W)
         slot_rank = jnp.where(covers, jnp.arange(n)[None, :, None], -1)
         winner = slot_rank.max(axis=1)                            # (B,W)
+        if _sft_wb_default() == "take":
+            # row-gather formulation: the selection is pure data
+            # movement (one (H*C)-contiguous row per output column), so
+            # express it as take_along_axis instead of an einsum whose
+            # ~0.55 TFLOP/batch at the 64-high shape is artificial work
+            # (probe: tools/probe_writeback.py)
+            xc = jnp.take_along_axis(x1c, jnp.maximum(winner, 0), axis=1)
+            v = jnp.arange(width)[None, :] - xc                   # (B, W)
+            idx = (jnp.maximum(winner, 0) * win
+                   + jnp.clip(v, 0, win - 1))
+            flat = out_win.transpose(0, 1, 3, 2, 4).reshape(
+                b, n * win, h * c)
+            res = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+            live = ((winner >= 0) & (v >= 0) & (v < win))[:, :, None]
+            res = jnp.where(live, res, 0).reshape(b, width, h, c)
+            return canvas + res.transpose(0, 2, 1, 3)
         # One-hot selection matrix (B, W, N*win): column x selects window
         # column (x - x1) of its winning slot. Expressed as a matmul so
         # the selection runs on the MXU (a general gather would not

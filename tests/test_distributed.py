@@ -75,7 +75,10 @@ def test_two_process_launch_matches_single_process():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1500)
+            # generous: two cold XLA:CPU compiles (train step + visual
+            # forward) on a contended 1-core host; warm-cache runs take
+            # a fraction of this
+            out, _ = p.communicate(timeout=2100)
             outs.append(out)
     finally:
         for p in procs:
@@ -84,6 +87,9 @@ def test_two_process_launch_matches_single_process():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"MP_OK p{pid}" in out
+    # rank-0 visual validation ran (collective visual forward +
+    # addressable-shard row assembly; see mp_worker.py)
+    assert "MP_VIS " in outs[0], outs[0][-4000:]
     mp_metrics = None
     for line in outs[0].splitlines():
         if line.startswith("MP_METRICS "):

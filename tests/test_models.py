@@ -414,3 +414,9 @@ class TestSFTFold:
         got = mod.apply(variables, canvas, priors, locs, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
+        # the row-gather (take_along_axis) formulation — the selection
+        # must behave identically incl. last-writer-wins overlap
+        monkeypatch.setenv("MARCONET_SFT_WB", "take")
+        got_t = mod.apply(variables, canvas, priors, locs, mask)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref),
+                                   atol=1e-6)

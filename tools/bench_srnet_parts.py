@@ -176,20 +176,25 @@ def main():
 
     # ---- final chain ------------------------------------------------------
     class Final(nn.Module):
-        """Mirrors StructurePriorSRNet's tail: phase-separated subpixel
-        layout by default (MARCONET_PHASE_TAIL=0 for the plain composed
-        form, MARCONET_FINAL_UNFUSED=1 for the round-1 separate
-        upsample+conv chain)."""
+        """Mirrors StructurePriorSRNet's tail, including the backend-
+        resolved layout (wfold on TPU since round 4): the same
+        ``_tail_form_default`` the model reads, so the 'final' row
+        measures the DEPLOYED form. ``MARCONET_TAIL=plain|phase|wfold``
+        forces; ``MARCONET_FINAL_UNFUSED=1`` keeps the round-1 separate
+        upsample+conv chain for comparison."""
 
         @nn.compact
         def __call__(self, s64):
+            from marconet_tpu.models.srnet import _tail_form_default
+
             x = leaky_relu(SNConv(d // 2, dtype=dt, name="final_a")(s64))
             if os.environ.get("MARCONET_FINAL_UNFUSED") == "1":
                 x = leaky_relu(SNConv(d // 4, dtype=dt, name="final_b")(
                     upsample2x_bilinear(x)))
                 x = ResTextBlockV2(d // 4, dtype=dt, name="final_res")(x)
                 return jnp.tanh(SNConv(3, dtype=dt, name="final_out")(x))
-            if os.environ.get("MARCONET_PHASE_TAIL", "1") == "1":
+            tail = _tail_form_default()
+            if tail == "phase":
                 from marconet_tpu.ops.phase import phase_unpack
                 x = leaky_relu(SNConv(d // 4, dtype=dt, pre_upsample=True,
                                       phase_output=True, name="final_b")(x))
@@ -198,6 +203,15 @@ def main():
                 x = SNConv(3, dtype=dt, phase_input=True,
                            name="final_out")(x)
                 return phase_unpack(jnp.tanh(x))
+            if tail == "wfold":
+                from marconet_tpu.ops.widthfold import wunfold
+                x = leaky_relu(SNConv(d // 4, dtype=dt, pre_upsample=True,
+                                      wfold_output=True, name="final_b")(x))
+                x = ResTextBlockV2(d // 4, dtype=dt, wfold=True,
+                                   name="final_res")(x)
+                x = SNConv(3, dtype=dt, wfold_input=True,
+                           name="final_out")(x)
+                return wunfold(jnp.tanh(x), 2)
             x = leaky_relu(SNConv(d // 4, dtype=dt, pre_upsample=True,
                                   name="final_b")(x))
             x = ResTextBlockV2(d // 4, dtype=dt, name="final_res")(x)
