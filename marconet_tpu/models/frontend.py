@@ -173,20 +173,26 @@ class CharacterFrontend:
                 0, cfg.num_classes - len(ocr_charset)) \
                 if ocr_charset else 0
 
+        # Weights are passed as jit ARGUMENTS, not closed over: a
+        # closed-over concrete array is baked into the HLO as a literal
+        # constant, which bloats the compile payload past remote-compile
+        # request limits (the axon tunnel rejects the ~300 MB recognizer
+        # proto with HTTP 413) and defeats compile-cache reuse across
+        # checkpoints.
         @jax.jit
-        def detect(img01):
-            boxes, scores = self._yolo.apply(self._yolo_vars, img01)
+        def detect(yolo_vars, img01):
+            boxes, scores = self._yolo.apply(yolo_vars, img01)
             return nms_static(boxes[0], scores[0, :, 0],
                               max_det=max_det, iou_thresh=iou,
                               conf_thresh=conf)
 
-        self._detect = detect
+        self._detect = lambda img01: detect(self._yolo_vars, img01)
         if self._ocr is not None:
             @jax.jit
-            def recognize(img):
-                return self._ocr.apply(self._ocr_vars, img)
+            def recognize(ocr_vars, img):
+                return self._ocr.apply(ocr_vars, img)
 
-            self._recognize = recognize
+            self._recognize = lambda img: recognize(self._ocr_vars, img)
 
     @classmethod
     def from_checkpoints(cls, ckpt_dir: str, **kw) -> "CharacterFrontend":

@@ -25,6 +25,26 @@ from marconet_tpu.utils.image import (LQ_HEIGHT, LQ_WIDTH,
 DEFAULT_BUCKETS = (1, 4, 16, 64)
 
 
+_PACK_JIT = None
+
+
+def _pack_uint8(x):
+    """[-1, 1] float/bf16 image tensor -> uint8 RGB, on device (jitted
+    once: fuses into one elementwise pass; round-to-nearest)."""
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def pack(x):
+            return (jnp.clip(x.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+                    * 255.0 + 0.5).astype(jnp.uint8)
+
+        _PACK_JIT = pack
+    return _PACK_JIT(x)
+
+
 @dataclass
 class LineRequest:
     """One text-line crop with (optionally) known text and boxes."""
@@ -36,9 +56,9 @@ class LineRequest:
 
 @dataclass
 class LineResult:
-    sr: np.ndarray                        # (128, W*4, 3) float [0,255]
+    sr: np.ndarray                        # (128, W*4, 3) uint8 RGB
     text: str
-    priors: np.ndarray                    # (n, 128, 128, 3)
+    priors: np.ndarray                    # (n, 128, 128, 3) uint8
 
 
 def split_wide_line(img: np.ndarray, max_w: int = LQ_WIDTH
@@ -136,16 +156,20 @@ class TextPageRestorer:
             out = self.net.restore(self.params, jnp.asarray(lq),
                                    jnp.asarray(labels), jnp.asarray(locs),
                                    jnp.asarray(mask))
-            sr = np.asarray(out.sr, np.float32)
-            priors = np.asarray(out.priors, np.float32)
+            # uint8 packing happens ON DEVICE: one fused elementwise
+            # pass, then a 4x smaller host transfer with no host-side
+            # bf16->f32 conversion — at bucket 16 this cuts ~100 MB of
+            # tunnel traffic per batch to ~25 MB (BENCH_NOTES.md round-5
+            # serve section)
+            sr = np.asarray(_pack_uint8(out.sr))
+            priors = np.asarray(_pack_uint8(out.priors))
             from marconet_tpu.alphabet import text_from_labels
 
             for i, (c, req) in enumerate(zip(chunk, requests[
                     chunk_start:chunk_start + b])):
                 show, n_chars = c[4], c[5]
-                img = np.clip(sr[i] * 0.5 + 0.5, 0, 1) * 255.0
                 results.append(LineResult(
-                    sr=img[:, :show.shape[1]],
+                    sr=sr[i, :, :show.shape[1]],
                     text=req.text if req.text is not None else
                     text_from_labels([l for l in c[1][:n_chars]]),
                     priors=priors[i, :n_chars]))

@@ -133,9 +133,13 @@ def main():
                             mask=cmask,
                             weight=cfg.pixel_weight * cfg.lambda32))
 
-    def srnet_loss(srn_p, state, batch):
-        # priors/locs concrete: grads flow only through the SR net — the
+    def srnet_loss(srn_p, consts, state, batch):
+        # priors/locs concrete (passed as ARGUMENTS, not closure
+        # constants — closed-over arrays are baked into the HLO proto
+        # and the 547 MB feat64 literal exceeds the remote-compile
+        # request limit): grads flow only through the SR net — the
         # isolated SFT forward+backward
+        pred_cw_c, feat64_c, feat32_c = consts
         sr, _ = trainer.srnet.apply(
             {"params": srn_p, "spectral": state.srnet["spectral"]},
             batch.lq, feat64_c, feat32_c, pred_cw_c,
@@ -180,7 +184,8 @@ def main():
                     d_vars, sr_chars.reshape(bb * n, 128, 128, 3))
                     .reshape(bb, n, -1), mask=mk) * cfg.gan_lambda)
 
-    def lpips_loss(srn_p, state, batch):
+    def lpips_loss(srn_p, consts, state, batch):
+        pred_cw_c, feat64_c, feat32_c = consts
         bb = batch.lq.shape[0]
         sr, _ = trainer.srnet.apply(
             {"params": srn_p, "spectral": state.srnet["spectral"]},
@@ -205,11 +210,15 @@ def main():
 
     g_params = (state.encoder["params"], state.prior["params"],
                 state.srnet["params"])
+    consts = (pred_cw_c, feat64_c, feat32_c)
+    only = os.environ.get("BENCH_G_PARTS")  # comma list, e.g. "srnet,gan"
     for name, fn, wrt in parts:
+        if only and name not in only.split(","):
+            continue
         if name in ("srnet", "lpips"):
-            def run(p, state, batch, fn=fn):
-                return jax.value_and_grad(fn)(p, state, batch)
-            args = (state.srnet["params"], state, batch)
+            def run(p, consts, state, batch, fn=fn):
+                return jax.value_and_grad(fn)(p, consts, state, batch)
+            args = (state.srnet["params"], consts, state, batch)
         elif name == "gan":
             def run(p, state, batch, fn=fn):
                 return jax.value_and_grad(fn)(p, state, batch)
