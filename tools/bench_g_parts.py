@@ -90,8 +90,14 @@ def main():
                 pri.feat64.reshape(bb, n, *pri.feat64.shape[1:]),
                 pri.feat32.reshape(bb, n, *pri.feat32.shape[1:]))
 
-    pred_cw_c, feat64_c, feat32_c = jax.block_until_ready(
-        fwd_consts(state, batch))
+    only_env = os.environ.get("BENCH_G_PARTS")
+    need_consts = (not only_env) or \
+        any(p in only_env.split(",") for p in ("srnet", "lpips"))
+    if need_consts:
+        pred_cw_c, feat64_c, feat32_c = jax.block_until_ready(
+            fwd_consts(state, batch))
+    else:
+        pred_cw_c = feat64_c = feat32_c = None
 
     # ---- part losses ------------------------------------------------------
     def enc_loss(enc_p, batch):

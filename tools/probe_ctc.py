@@ -69,6 +69,55 @@ def main():
         print(f"{name:4s} grad: {(time.perf_counter() - t0) / iters * 1e3:9.2f} ms",
               flush=True)
 
+    # ---- stage 2: the same losses THROUGH the real encoder ----------------
+    # bench_g_parts' enc part (losses(encoder(p, lq))) measured ~19 s
+    # against a 15 ms floor, reproducibly, while the identical paths
+    # inside the full G phase cost ~none. Bisect: pure encoder f/b, CTC
+    # through the encoder, loc terms through the encoder.
+    if os.environ.get("PROBE_CTC_ENCODER", "1") != "1":
+        return
+
+    import jax.numpy as jnp2  # noqa: F401  (parallel import style)
+
+    from marconet_tpu.models.encoder import TextContextEncoder
+
+    enc = TextContextEncoder(width=1.0, dtype=jnp.bfloat16)
+    lq = jnp.asarray(rng.uniform(-1, 1, (b, 32, 512, 3)), jnp.float32)
+    variables = jax.jit(enc.init)(jax.random.PRNGKey(0), lq)
+    params = variables["params"]
+
+    def pure(p):
+        lg, lr, w = enc.apply({"params": p}, lq)
+        return (lg.astype(jnp.float32).mean()
+                + lr.astype(jnp.float32).mean()
+                + w.astype(jnp.float32).mean())
+
+    def ctc_enc(p):
+        lg, _, _ = enc.apply({"params": p}, lq)
+        return L.ctc_loss(lg, labels)
+
+    def loc_enc(p):
+        _, lr, _ = enc.apply({"params": p}, lq)
+        return loc(lr) + iou(lr)
+
+    def all_enc(p):
+        lg, lr, _ = enc.apply({"params": p}, lq)
+        return L.ctc_loss(lg, labels) + loc(lr) + iou(lr)
+
+    for name, fn in (("enc_pure", pure), ("enc_ctc", ctc_enc),
+                     ("enc_loc", loc_enc), ("enc_all", all_enc)):
+        t0 = time.time()
+        g = jax.jit(jax.value_and_grad(fn)).lower(params).compile()
+        cs = time.time() - t0
+        v, _ = g(params)
+        jax.block_until_ready(v)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            v, _ = g(params)
+        float(v)
+        print(f"{name:8s} grad: {(time.perf_counter() - t0) / iters * 1e3:9.2f} ms"
+              f"   (compile {cs:.0f}s)", flush=True)
+
 
 if __name__ == "__main__":
     main()
