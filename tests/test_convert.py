@@ -81,7 +81,14 @@ def srnet_converted():
 @pytest.mark.parametrize("centers", [
     [0.1, 0.35, 0.62, 0.9],        # interior chars
     [0.01, 0.5, 0.99],             # truncated edge windows
-    [0.3, 0.317, 0.335, 0.36],     # heavily overlapping windows
+    # heavily overlapping windows: full-size torch-oracle case is
+    # RUN_SLOW-gated (~30 s) — overlap/last-writer-wins semantics stay
+    # pinned in the default tier at reduced size
+    # (test_models.py::TestSFTFold::test_writeback_direct_equivalent)
+    pytest.param([0.3, 0.317, 0.335, 0.36],
+                 marks=pytest.mark.skipif(
+                     not os.environ.get("RUN_SLOW"),
+                     reason="full-size overlap case; set RUN_SLOW=1")),
 ])
 def test_srnet_conversion_end_to_end(rng, srnet_converted, centers):
     sd, variables = srnet_converted

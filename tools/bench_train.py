@@ -161,7 +161,9 @@ def main():
              jnp.concatenate([fake3, real3], -1),
              jnp.concatenate([real3, fake3], -1))):
         phase = jax.jit(lambda p, s, f, r, ch=ch: jax.value_and_grad(
-            disc_loss)(p, s, f, r, ch))
+            disc_loss)(p, s, f, r, ch)) \
+            .lower(netvar["params"], netvar["spectral"], fk, rl).compile()
+        cost(phase, name)
         val, _ = phase(netvar["params"], netvar["spectral"], fk, rl)
         jax.block_until_ready(val)
         t0 = time.perf_counter()
