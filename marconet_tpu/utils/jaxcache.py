@@ -18,6 +18,26 @@ import hashlib
 import os
 
 
+def host_cpu_fingerprint() -> str:
+    """Hash of the host CPU's machine features.
+
+    XLA:CPU AOT cache entries embed the compile machine's feature set;
+    loading one on a different host generation warns ("+prefer-no-gather
+    not supported on the host machine ... could lead to SIGILL") or
+    kills the process. CPU cache directories (tests, dryrun) are keyed
+    on this so a host change lands in a fresh directory.
+    """
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return hashlib.sha1(
+        (platform.machine() + "|" + flags).encode()).hexdigest()[:12]
+
+
 def _platform_fingerprint() -> str:
     """Hash of everything that can invalidate a compiled executable."""
     import jax

@@ -33,6 +33,12 @@ _cache = os.environ.get(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".test_xla_cache"))
 if _cache and _cache != "off":
+    # key on the host CPU's feature set: XLA:CPU AOT entries embed the
+    # compile machine's features, and loading one on a different host
+    # generation risks SIGILL (marconet_tpu.utils.jaxcache docstring)
+    from marconet_tpu.utils.jaxcache import host_cpu_fingerprint
+
+    _cache = os.path.join(_cache, host_cpu_fingerprint())
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -26,6 +26,12 @@ def main(pid: int, n_local: int, coordinator: str) -> None:
 
     cache = os.environ.get("MARCONET_TEST_CACHE")
     if cache and cache != "off":
+        # same host-CPU keying as tests/conftest.py (XLA:CPU AOT entries
+        # are machine-feature specific; cross-host loads risk SIGILL)
+        from marconet_tpu.utils.jaxcache import host_cpu_fingerprint
+
+        cache = os.path.join(cache, host_cpu_fingerprint())
+        os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -48,11 +48,20 @@ def main(n_devices: int) -> None:
     # jax keys entries by backend + compile options, so the CPU-only
     # entries here can't collide with TPU runs; a pre-warmed cache cuts
     # the driver's dryrun wall time by ~1-2 min on this 1-core host.
+    # The directory is additionally keyed on the HOST CPU's feature set:
+    # XLA:CPU AOT results embed machine features, and loading an entry
+    # compiled on a different host generation warns (observed round 5:
+    # "+prefer-no-gather not supported on the host machine ... could
+    # lead to SIGILL") or kills the process outright.
+    from marconet_tpu.utils.jaxcache import host_cpu_fingerprint
+
+    host_key = host_cpu_fingerprint()
     cache_dir = os.environ.get(
         "MARCONET_DRYRUN_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".dryrun_xla_cache"))
+            os.path.abspath(__file__))), ".dryrun_xla_cache", host_key))
     if cache_dir and cache_dir != "off":
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
