@@ -205,6 +205,15 @@ def main():
         return L.masked_mean(lp.reshape(bb, n),
                              batch.patch_valid) * cfg.lpips_lambda
 
+    # 'enc' is OFF by default: inside this process it reproducibly
+    # executes at 7-92 s against a 15 ms floor (AOT or plain jit, cache
+    # on or off, prior consts present or not), while the IDENTICAL
+    # computation — same trainer, same jitted-init state, same
+    # prepare_train_batch data — in a standalone script runs at
+    # 19-23 ms (tools/probe_ctc.py stage 2, plus the round-5 bisect
+    # scripts in BENCH_NOTES). The four rows below are stable across
+    # all those variants. Request it explicitly via BENCH_G_PARTS=enc
+    # to study the runtime pathology.
     parts = [
         ("enc", enc_loss, state.encoder["params"]),
         ("prior", prior_loss, (state.encoder["params"],
@@ -213,6 +222,8 @@ def main():
         ("gan", gan_loss, None),
         ("lpips", lpips_loss, None),
     ]
+    if not os.environ.get("BENCH_G_PARTS"):
+        parts = [p for p in parts if p[0] != "enc"]
 
     g_params = (state.encoder["params"], state.prior["params"],
                 state.srnet["params"])
@@ -234,6 +245,14 @@ def main():
                 return jax.value_and_grad(fn)(p, batch)
             args = (wrt, batch)
         t0 = time.time()
+        # AOT compile ONLY for XLA's cost analysis. The timed calls go
+        # through plain jit dispatch: an AOT executable KEEPS unused
+        # arguments in its signature, and the axon remote backend pays a
+        # catastrophic per-call cost for unused HOST-UPLOADED argument
+        # buffers — measured 152 s/call for the enc part vs 23 ms with
+        # pruned args or plain jit, same graph (BENCH_NOTES.md round-5
+        # quirks). jit dispatch prunes unused args and matches the AOT
+        # executable's compute exactly.
         compiled = jax.jit(run).lower(*args).compile()
         try:
             ca = compiled.cost_analysis()
@@ -245,12 +264,13 @@ def main():
                       f"HBM {by / 819e9 * 1e3:7.1f} ms")
         except Exception:
             floors = "floors: n/a"
-        out = compiled(*args)
+        timed = jax.jit(run)
+        out = timed(*args)
         jax.block_until_ready(out)
         compile_s = time.time() - t0
         t0 = time.perf_counter()
         for _ in range(iters):
-            loss, _ = compiled(*args)
+            loss, _ = timed(*args)
         float(loss)
         dt = (time.perf_counter() - t0) / iters * 1e3
         print(f"{name:6s} grad: {dt:8.1f} ms   {floors}   "
