@@ -102,3 +102,25 @@ class TestRestorer:
         for r in out:
             assert r.sr.shape[0] == 128
             assert r.priors.shape[0] == 2
+
+
+def test_pack_uint8_matches_host_conversion():
+    """The on-device uint8 packing must equal the host-side reference
+    conversion (clip to [-1,1] -> [0,255] round-to-nearest) — the
+    round-5 serve transfer optimization must not change pixel values."""
+    import jax.numpy as jnp
+
+    from marconet_tpu.serve import _pack_uint8
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.3, 1.3, (2, 8, 8, 3)).astype(np.float32)
+    got = np.asarray(_pack_uint8(jnp.asarray(x)))
+    want = np.floor(np.clip(x * 0.5 + 0.5, 0.0, 1.0) * 255.0
+                    + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.uint8
+    # bf16 inputs (the deployed dtype) stay in range and exact at the
+    # 8-bit quantization level
+    gb = np.asarray(_pack_uint8(jnp.asarray(x, jnp.bfloat16)))
+    assert gb.dtype == np.uint8
+    assert np.abs(gb.astype(int) - want.astype(int)).max() <= 2
