@@ -257,6 +257,28 @@ def ConvNeXtOCR(num_classes: int = len(ALPHABET) + 1,
                                         **cfg_kw), dtype=dtype)
 
 
+def decode_ctc_ids(ids, charset: str = ALPHABET, blank: int = 0,
+                   offset: int = 0) -> List[str]:
+    """Greedy CTC decode of per-frame argmax ids (B, T) into strings.
+
+    Split out of :func:`decode_ctc` so callers can take the argmax ON
+    DEVICE and transfer (B, T) int32 instead of the full (B, T, C)
+    logits — at the 6764-class recognizer that is a ~7000x smaller
+    device-to-host transfer per call (BENCH_NOTES.md round-5 serve
+    section).
+    """
+    out = []
+    for seq in np.asarray(ids):
+        chars, prev = [], -1
+        for t in seq:
+            ci = int(t) - offset
+            if t != prev and t != blank and 0 <= ci < len(charset):
+                chars.append(charset[ci])
+            prev = t
+        out.append("".join(chars))
+    return out
+
+
 def decode_ctc(logits, charset: str = ALPHABET,
                blank: Optional[int] = None,
                offset: int = 0) -> List[str]:
@@ -270,13 +292,5 @@ def decode_ctc(logits, charset: str = ALPHABET,
     arr = np.asarray(logits)
     if blank is None:
         blank = arr.shape[-1] - 1 if offset == 0 else 0
-    out = []
-    for seq in arr.argmax(-1):
-        chars, prev = [], -1
-        for t in seq:
-            ci = int(t) - offset
-            if t != prev and t != blank and 0 <= ci < len(charset):
-                chars.append(charset[ci])
-            prev = t
-        out.append("".join(chars))
-    return out
+    return decode_ctc_ids(arr.argmax(-1), charset=charset, blank=blank,
+                          offset=offset)

@@ -192,7 +192,22 @@ class CharacterFrontend:
             def recognize(ocr_vars, img):
                 return self._ocr.apply(ocr_vars, img)
 
+            # greedy CTC needs only the per-frame argmax: take it ON
+            # DEVICE and transfer (B, T) int32 instead of the full
+            # (B, T, 6764) logits — a ~7000x smaller device-to-host
+            # transfer per recognizer call (the logits transfer, not
+            # the forward, dominated the per-line host time through
+            # the remote tunnel; BENCH_NOTES.md round 5)
+            @jax.jit
+            def recognize_ids(ocr_vars, img):
+                import jax.numpy as jnp
+
+                return jnp.argmax(self._ocr.apply(ocr_vars, img),
+                                  axis=-1).astype(jnp.int32)
+
             self._recognize = lambda img: recognize(self._ocr_vars, img)
+            self._recognize_ids = lambda img: recognize_ids(
+                self._ocr_vars, img)
 
     @classmethod
     def from_checkpoints(cls, ckpt_dir: str, **kw) -> "CharacterFrontend":
@@ -293,7 +308,7 @@ class CharacterFrontend:
         import jax.numpy as jnp
 
         from marconet_tpu.alphabet import ALPHABET
-        from marconet_tpu.models.convnext_ocr import decode_ctc
+        from marconet_tpu.models.convnext_ocr import decode_ctc_ids
 
         if self._ocr is None or len(segments) == 0:
             return ["" for _ in segments]
@@ -312,10 +327,10 @@ class CharacterFrontend:
             if nb > n:
                 x = np.concatenate(
                     [x, np.zeros((nb - n,) + x.shape[1:], x.dtype)])
-            logits = self._recognize(jnp.asarray(x))
-            texts = decode_ctc(np.asarray(logits)[:n], charset=charset,
-                               blank=self._ocr_cfg.blank_index,
-                               offset=self._ocr_offset)
+            ids = self._recognize_ids(jnp.asarray(x))
+            texts = decode_ctc_ids(np.asarray(ids)[:n], charset=charset,
+                                   blank=self._ocr_cfg.blank_index,
+                                   offset=self._ocr_offset)
             for i, t in zip(idxs, texts):
                 out[i] = t.replace(" ", "")
         return out  # type: ignore[return-value]
