@@ -37,9 +37,16 @@ def main():
     iters = int(os.environ.get("PROBE_ITERS", "30"))
     rng = np.random.default_rng(0)
 
+    # The *_x2 rows are the original round-5 probe shapes (double the
+    # deployed window width — the most gather-favorable granularity);
+    # the *_real rows are the model's deployed shapes (win = 2*hw with
+    # hw 32/16, models/srnet.py), where the per-scale default choice is
+    # actually decided.
     for label, (b, n, h, win, c, width) in (
-            ("sft64", (16, 8, 64, 128, 256, 1024)),
-            ("sft32", (16, 8, 32, 64, 256, 512))):
+            ("sft64_real", (16, 8, 64, 64, 256, 1024)),
+            ("sft32_real", (16, 8, 32, 32, 256, 512)),
+            ("sft64_x2", (16, 8, 64, 128, 256, 1024)),
+            ("sft32_x2", (16, 8, 32, 64, 256, 512))):
         out_win = jnp.asarray(
             rng.standard_normal((b, n, h, win, c)) * 0.1, jnp.bfloat16)
         canvas = jnp.asarray(
