@@ -131,15 +131,44 @@ class TextPageRestorer:
         bucketed (4/8/16): masked extra slots are semantically inert
         (equivalent to a narrower run up to float reassociation noise;
         tests/test_models.py), so short lines skip the wasted prior/SFT
-        compute."""
+        compute.
+
+        The chunk loop is double-buffered around JAX's async dispatch:
+        chunk k's restore is dispatched (non-blocking), THEN chunk k-1's
+        device->host transfer is drained and chunk k+1's host prep (cv2
+        resizes + numpy stacking, the dominant host cost —
+        BENCH_NOTES.md serve section) runs — all while the device
+        executes chunk k. The strictly sequential prep -> dispatch ->
+        block order would leave the device idle during every prep."""
         import jax.numpy as jnp
 
-        prepared = [self._prepare(r) for r in requests]
-        n = len(prepared)
+        from marconet_tpu.alphabet import text_from_labels
+
+        n = len(requests)
+        if n == 0:
+            return []
         b = self._bucket(n)
         results: List[LineResult] = []
+
+        def drain(sr_dev, priors_dev, chunk, reqs):
+            # np.asarray on a device array blocks until the dispatched
+            # program finished and the (uint8-packed) bytes arrived
+            sr = np.asarray(sr_dev)
+            priors = np.asarray(priors_dev)
+            for i, (c, req) in enumerate(zip(chunk, reqs)):
+                show, n_chars = c[4], c[5]
+                results.append(LineResult(
+                    sr=sr[i, :, :show.shape[1]],
+                    text=req.text if req.text is not None else
+                    text_from_labels([l for l in c[1][:n_chars]]),
+                    priors=priors[i, :n_chars]))
+
+        pending = None
         for chunk_start in range(0, n, b):
-            chunk = prepared[chunk_start:chunk_start + b]
+            reqs = requests[chunk_start:chunk_start + b]
+            # host prep of THIS chunk overlaps the device execution of
+            # the previous one (its results are not pulled yet)
+            chunk = [self._prepare(r) for r in reqs]
             pad = b - len(chunk)
             max_chars = max(c[5] for c in chunk)
             n_slots = next(s for s in (4, 8, MAX_CHARS)
@@ -160,19 +189,13 @@ class TextPageRestorer:
             # pass, then a 4x smaller host transfer with no host-side
             # bf16->f32 conversion — at bucket 16 this cuts ~100 MB of
             # tunnel traffic per batch to ~25 MB (BENCH_NOTES.md round-5
-            # serve section)
-            sr = np.asarray(_pack_uint8(out.sr))
-            priors = np.asarray(_pack_uint8(out.priors))
-            from marconet_tpu.alphabet import text_from_labels
-
-            for i, (c, req) in enumerate(zip(chunk, requests[
-                    chunk_start:chunk_start + b])):
-                show, n_chars = c[4], c[5]
-                results.append(LineResult(
-                    sr=sr[i, :, :show.shape[1]],
-                    text=req.text if req.text is not None else
-                    text_from_labels([l for l in c[1][:n_chars]]),
-                    priors=priors[i, :n_chars]))
+            # serve section). Both calls are async dispatches.
+            sr_dev = _pack_uint8(out.sr)
+            priors_dev = _pack_uint8(out.priors)
+            if pending is not None:
+                drain(*pending)
+            pending = (sr_dev, priors_dev, chunk, reqs)
+        drain(*pending)
         return results
 
     def _page_requests(self, page_rgb: np.ndarray,

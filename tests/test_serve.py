@@ -60,6 +60,34 @@ class TestRestorerReduced:
         # shows 4 * (1000 * 32 / 64) = 2000 px of x4 output
         assert res[1].sr.shape[1] == 3 * 2000
 
+    def test_chunking_invariance(self):
+        """Splitting a request list into multiple double-buffered chunks
+        (round-5 async pipeline in ``restore_lines``) must return the
+        same results in the same order as one big chunk. Batch rows are
+        independent in every pipeline op, but XLA's codegen is
+        batch-size-dependent (tiling/fusion reassociation), so a few
+        pixels may flip by one uint8 quantization level — measured
+        3 / 614400 at +-1 on XLA:CPU; anything beyond that is a
+        chunking bug."""
+        net = MARCONet(width=0.0625)
+        params = jax.jit(net.init)(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(2)
+        reqs = [LineRequest(
+            image=rng.integers(0, 255, (64, 800, 3)).astype(np.uint8),
+            text="ABC") for _ in range(5)]
+        chunked = TextPageRestorer(net, params,
+                                   buckets=(2,)).restore_lines(reqs)
+        whole = TextPageRestorer(net, params,
+                                 buckets=(8,)).restore_lines(reqs)
+        assert len(chunked) == len(whole) == 5
+        for c, w in zip(chunked, whole):
+            assert c.text == w.text
+            assert c.sr.shape == w.sr.shape
+            d = np.abs(c.sr.astype(int) - w.sr.astype(int))
+            assert d.max() <= 1 and (d > 0).mean() < 1e-3
+            dp = np.abs(c.priors.astype(int) - w.priors.astype(int))
+            assert dp.max() <= 1 and (dp > 0).mean() < 1e-3
+
     def test_page_request_splitting(self):
         restorer = TextPageRestorer(net=None, params=None)
         rng = np.random.default_rng(1)
