@@ -14,7 +14,10 @@ parity tests but no chip number. This measures both serve modes:
 
 Page: 8 line boxes, each 64 x 1600 px (h=32-normalized width 800 ->
 auto-split into 2 segments each; 16 segments/page). Env:
-BENCH_SERVE_ITERS (default 5), BENCH_SERVE_LINES (default 8).
+BENCH_SERVE_ITERS (default 5), BENCH_SERVE_LINES (default 8),
+BENCH_SERVE_BUCKETS (comma list, default the serve module's
+DEFAULT_BUCKETS — set "16" with BENCH_SERVE_LINES=16+ to measure the
+multi-chunk double-buffered path on the cached batch-16 program).
 """
 
 import os
@@ -77,7 +80,12 @@ def main():
               flush=True)
         assert n_seg == len(line_boxes)
 
-    bench("manual", TextPageRestorer(net, params), run_manual)
+    buckets = tuple(
+        int(v) for v in os.environ.get("BENCH_SERVE_BUCKETS", "").split(",")
+        if v) or None
+    kw = {"buckets": buckets} if buckets else {}
+
+    bench("manual", TextPageRestorer(net, params, **kw), run_manual)
 
     # frontend mode: random-weight YOLO + ModelScope-geometry recognizer
     from marconet_tpu.models.convnext_ocr import ConvNextViT, OCRConfig
@@ -94,7 +102,7 @@ def main():
     def run_frontend(restorer):
         return restorer.restore_page(page, line_boxes)
 
-    bench("frontend", TextPageRestorer(net, params, frontend=fe),
+    bench("frontend", TextPageRestorer(net, params, frontend=fe, **kw),
           run_frontend)
 
 
